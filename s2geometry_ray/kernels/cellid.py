@@ -1,0 +1,315 @@
+"""Vectorized S2 cell-id kernels (numpy over Arrow buffers).
+
+Batch counterparts of ``s2geometry_ray.oracle.s2`` (the scalar truth
+kernel); the pytest oracle asserts bit-exact equality between the two
+(SURVEY.md §6.2).  All bit manipulation stays in ``np.uint64`` with
+explicit uint64 shift counts (SURVEY.md §7.3.2); i/j coordinates are
+``int64`` (they fit in 31 bits).
+
+These functions are pure array→array and are called from Ray Data
+``map_batches(fn, batch_format="pyarrow")`` stages; they never touch
+Ray themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from s2geometry_ray.kernels.hilbert import LOOKUP_IJ_NP, LOOKUP_POS_NP
+
+MAX_LEVEL = 30
+POS_BITS = 2 * MAX_LEVEL + 1
+MAX_SIZE = 1 << MAX_LEVEL
+
+_U = np.uint64  # shorthand for shift-count casts
+
+# ---------------------------------------------------------------------------
+# lat/lng <-> xyz  (S1, S2)
+# ---------------------------------------------------------------------------
+
+
+def latlng_to_xyz(lat_deg: np.ndarray, lng_deg: np.ndarray) -> np.ndarray:
+    """(N,) degrees → (N, 3) float64 unit vectors."""
+    phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    theta = np.deg2rad(np.asarray(lng_deg, dtype=np.float64))
+    cosphi = np.cos(phi)
+    return np.stack([np.cos(theta) * cosphi, np.sin(theta) * cosphi, np.sin(phi)], axis=1)
+
+
+def xyz_to_latlng(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, 3) unit vectors → (lat_deg, lng_deg)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    lat = np.arctan2(z, np.hypot(x, y))
+    lng = np.arctan2(y, x)
+    return np.rad2deg(lat), np.rad2deg(lng)
+
+
+def angle(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise robust angular distance atan2(|a×b|, a·b) in radians."""
+    cross = np.cross(a, b)
+    cn = np.sqrt(np.einsum("ij,ij->i", cross, cross))
+    dot = np.einsum("ij,ij->i", a, b)
+    return np.arctan2(cn, dot)
+
+
+# ---------------------------------------------------------------------------
+# face / uv / st  (S3–S6)
+# ---------------------------------------------------------------------------
+
+
+def xyz_to_face(xyz: np.ndarray) -> np.ndarray:
+    ax = np.abs(xyz)
+    # Same strict-> comparison chain as the scalar oracle (ties resolve identically).
+    face = np.where(
+        ax[:, 0] > ax[:, 1],
+        np.where(ax[:, 0] > ax[:, 2], 0, 2),
+        np.where(ax[:, 1] > ax[:, 2], 1, 2),
+    ).astype(np.int64)
+    comp = xyz[np.arange(xyz.shape[0]), face]
+    return np.where(comp < 0.0, face + 3, face)
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    one = np.ones_like(u)
+    # per-face (x, y, z) component expressions, selected by face index
+    xs = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                   [one, -u, -u, -one, v, v])
+    ys = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                   [u, one, -v, -v, -one, u])
+    zs = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                   [v, v, one, -u, -u, -one])
+    return np.stack([xs, ys, zs], axis=1)
+
+
+def valid_face_xyz_to_uv(face: np.ndarray, xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [y / x, -x / y, -x / z, z / x, z / y, -y / z],
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [z / x, z / y, -y / z, y / x, -x / y, -x / z],
+        )
+    return u, v
+
+
+def xyz_to_face_uv(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    face = xyz_to_face(xyz)
+    u, v = valid_face_xyz_to_uv(face, xyz)
+    return face, u, v
+
+
+def uv_to_st(u: np.ndarray) -> np.ndarray:
+    """Quadratic projection (Java/Swift convention), s ∈ [0,1]."""
+    with np.errstate(invalid="ignore"):  # np.where evaluates the unselected branch
+        return np.where(
+            u >= 0.0,
+            0.5 * np.sqrt(1.0 + 3.0 * u),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        )
+
+
+def st_to_uv(s: np.ndarray) -> np.ndarray:
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def st_to_ij(s: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor(MAX_SIZE * s), 0, MAX_SIZE - 1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert encode / decode  (S7, S8)
+# ---------------------------------------------------------------------------
+
+
+def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """(N,) int64 face/i/j → (N,) uint64 leaf cell ids."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    n = face.astype(np.uint64) << _U(60)
+    bits = face & 1
+    for k in range(7, -1, -1):
+        idx = bits + (((i >> (4 * k)) & 15) << 6) + (((j >> (4 * k)) & 15) << 2)
+        looked = LOOKUP_POS_NP[idx]
+        n |= (looked >> 2).astype(np.uint64) << _U(8 * k)
+        bits = looked & 3
+    return (n << _U(1)) | _U(1)
+
+
+def to_face_ij_orientation(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(N,) uint64 → (face, i, j, orientation) int64 arrays."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    face = (cid >> _U(POS_BITS)).astype(np.int64)
+    bits = face & 1
+    i = np.zeros_like(face)
+    j = np.zeros_like(face)
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * 4) if k == 7 else 4
+        chunk = ((cid >> _U(k * 8 + 1)) & _U((1 << (2 * nbits)) - 1)).astype(np.int64)
+        looked = LOOKUP_IJ_NP[bits + (chunk << 2)]
+        i += (looked >> 6) << (4 * k)
+        j += ((looked >> 2) & 15) << (4 * k)
+        bits = looked & 3
+    swap = (lsb(cid) & _U(0x1111111111111110)) != 0
+    orientation = np.where(swap, bits ^ 1, bits)
+    return face, i, j, orientation
+
+
+def from_latlng(lat_deg: np.ndarray, lng_deg: np.ndarray) -> np.ndarray:
+    """Degrees → leaf (level-30) cell ids: the O3 cell-assign kernel."""
+    return from_xyz(latlng_to_xyz(lat_deg, lng_deg))
+
+
+def from_xyz(xyz: np.ndarray) -> np.ndarray:
+    face, u, v = xyz_to_face_uv(xyz)
+    return from_face_ij(face, st_to_ij(uv_to_st(u)), st_to_ij(uv_to_st(v)))
+
+
+# ---------------------------------------------------------------------------
+# id arithmetic  (S10–S14)
+# ---------------------------------------------------------------------------
+
+
+def lsb(cell_id: np.ndarray) -> np.ndarray:
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    return cid & (~cid + _U(1))
+
+
+def level(cell_id: np.ndarray) -> np.ndarray:
+    # log2 of a power of two is exact in float64 up to 2^63.
+    return (MAX_LEVEL - (np.log2(lsb(cell_id).astype(np.float64)) / 2.0)).astype(np.int64)
+
+
+def is_valid(cell_id: np.ndarray) -> np.ndarray:
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    return (
+        (cid != 0)
+        & ((cid >> _U(POS_BITS)) < 6)
+        & ((lsb(cid) & _U(0x1555555555555555)) != 0)
+    )
+
+
+def lsb_for_level(level_: int) -> np.uint64:
+    return _U(1) << _U(2 * (MAX_LEVEL - level_))
+
+
+def parent(cell_id: np.ndarray, level_: int) -> np.ndarray:
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    new_lsb = lsb_for_level(level_)
+    return (cid & ~(new_lsb - _U(1))) | new_lsb
+
+
+def range_min(cell_id: np.ndarray) -> np.ndarray:
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    return cid - (lsb(cid) - _U(1))
+
+
+def range_max(cell_id: np.ndarray) -> np.ndarray:
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    return cid + (lsb(cid) - _U(1))
+
+
+def contains(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (range_min(a) <= b) & (b <= range_max(a))
+
+
+# ---------------------------------------------------------------------------
+# center / token  (S9, S17)
+# ---------------------------------------------------------------------------
+
+
+def to_center_xyz(cell_id: np.ndarray) -> np.ndarray:
+    """(N,) uint64 → (N,3) unit-length cell-center points."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    face, i, j, _ = to_face_ij_orientation(cid)
+    leaf = (cid & _U(1)) == 1
+    odd = ((i ^ (cid >> _U(2)).astype(np.int64)) & 1) == 1
+    delta = np.where(leaf, 1, np.where(odd, 2, 0))
+    si = 2 * i + delta
+    ti = 2 * j + delta
+    u = st_to_uv((0.5 / MAX_SIZE) * si)
+    v = st_to_uv((0.5 / MAX_SIZE) * ti)
+    xyz = face_uv_to_xyz(face, u, v)
+    return xyz / np.linalg.norm(xyz, axis=1, keepdims=True)
+
+
+def to_latlng(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return xyz_to_latlng(to_center_xyz(cell_id))
+
+
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def token(cell_id: np.ndarray) -> list[str]:
+    """Vectorized hex tokens (trailing zeros stripped); manifest/debug columns."""
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    n = cid.shape[0]
+    nibbles = np.empty((n, 16), dtype=np.uint8)
+    for pos in range(16):
+        nibbles[:, pos] = _HEX[((cid >> _U(4 * (15 - pos))) & _U(15)).astype(np.int64)]
+    # token length = 16 - trailing zero nibbles
+    tz = np.zeros(n, dtype=np.int64)
+    tmp = cid.copy()
+    for _ in range(16):
+        zero = (tmp != 0) & ((tmp & _U(15)) == 0)
+        tz += zero.astype(np.int64)
+        tmp = np.where(zero, tmp >> _U(4), tmp)
+    lengths = np.where(cid == 0, 0, 16 - tz)
+    rows = nibbles.tobytes()
+    return [
+        rows[k * 16 : k * 16 + lengths[k]].decode() if lengths[k] else "X"
+        for k in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Neighbors  (S15) — vectorized edge neighbors with face wrap
+# ---------------------------------------------------------------------------
+
+
+def _from_face_ij_wrap(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    i = np.clip(i, -1, MAX_SIZE)
+    j = np.clip(j, -1, MAX_SIZE)
+    k_scale = 1.0 / MAX_SIZE
+    k_limit = 1.0 + np.finfo(np.float64).eps
+    u = np.clip(k_scale * (2.0 * (i - MAX_SIZE // 2) + 1.0), -k_limit, k_limit)
+    v = np.clip(k_scale * (2.0 * (j - MAX_SIZE // 2) + 1.0), -k_limit, k_limit)
+    xyz = face_uv_to_xyz(face, u, v)
+    nface, nu, nv = xyz_to_face_uv(xyz)
+    return from_face_ij(nface, st_to_ij(0.5 * (nu + 1.0)), st_to_ij(0.5 * (nv + 1.0)))
+
+
+def _from_face_ij_same(face, i, j, same_face) -> np.ndarray:
+    straight = from_face_ij(face, np.clip(i, 0, MAX_SIZE - 1), np.clip(j, 0, MAX_SIZE - 1))
+    if bool(np.all(same_face)):
+        return straight
+    wrapped = _from_face_ij_wrap(face, i, j)
+    return np.where(same_face, straight, wrapped)
+
+
+def edge_neighbors(cell_id: np.ndarray) -> np.ndarray:
+    """(N,) uint64 (all at the SAME level) → (N, 4) neighbor ids.
+
+    Mixed-level batches should be grouped by level first (the kNN ring
+    expansion operates level-by-level).
+    """
+    cid = np.asarray(cell_id, dtype=np.uint64)
+    if cid.size == 0:
+        return cid.reshape(0, 4)
+    lvl = int(level(cid[:1])[0])
+    size = 1 << (MAX_LEVEL - lvl)
+    face, i, j, _ = to_face_ij_orientation(cid)
+    out = np.empty((cid.shape[0], 4), dtype=np.uint64)
+    out[:, 0] = parent(_from_face_ij_same(face, i, j - size, j - size >= 0), lvl)
+    out[:, 1] = parent(_from_face_ij_same(face, i + size, j, i + size < MAX_SIZE), lvl)
+    out[:, 2] = parent(_from_face_ij_same(face, i, j + size, j + size < MAX_SIZE), lvl)
+    out[:, 3] = parent(_from_face_ij_same(face, i - size, j, i - size >= 0), lvl)
+    return out

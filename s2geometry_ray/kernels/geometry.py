@@ -1,0 +1,329 @@
+"""Scalar spherical geometry: intervals, cell bounds, edge predicates.
+
+Driver-side building blocks for the region coverer and the region
+predicates (SURVEY.md §3.1 S18, S21–S26).  These run per *tile* /
+per *candidate cell* (small counts), so scalar Python is fine; the
+per-*point* hot paths live in ``kernels/regions.py`` as vectorized
+numpy.  When tile counts grow, the coverer itself is parallelized as a
+``map_batches`` over the tiles table (one tile per row), keeping this
+scalar code off the driver — see ``stages/spatial_join.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from s2geometry_ray.oracle import s2 as _s2
+
+DBL_EPSILON = 2.220446049250313e-16
+# Minimum |latitude| (radians) reached on the boundary of the polar faces.
+POLE_MIN_LAT = math.asin(math.sqrt(1.0 / 3.0)) - 0.5 * DBL_EPSILON
+
+
+# ---------------------------------------------------------------------------
+# Intervals (S25): R1 on the line, S1 on the circle (longitude, radians)
+# ---------------------------------------------------------------------------
+
+
+class R1Interval:
+    """Closed interval [lo, hi]; empty when lo > hi."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo: float, hi: float):
+        self.lo = lo
+        self.hi = hi
+
+    @staticmethod
+    def empty() -> "R1Interval":
+        return R1Interval(1.0, 0.0)
+
+    @staticmethod
+    def from_point_pair(a: float, b: float) -> "R1Interval":
+        return R1Interval(min(a, b), max(a, b))
+
+    def is_empty(self) -> bool:
+        return self.lo > self.hi
+
+    def contains(self, x: float) -> bool:
+        return self.lo <= x <= self.hi
+
+    def contains_interval(self, o: "R1Interval") -> bool:
+        if o.is_empty():
+            return True
+        return self.lo <= o.lo and o.hi <= self.hi
+
+    def intersects(self, o: "R1Interval") -> bool:
+        if self.lo <= o.lo:
+            return o.lo <= self.hi and o.lo <= o.hi
+        return self.lo <= o.hi and self.lo <= self.hi
+
+    def union(self, o: "R1Interval") -> "R1Interval":
+        if self.is_empty():
+            return R1Interval(o.lo, o.hi)
+        if o.is_empty():
+            return R1Interval(self.lo, self.hi)
+        return R1Interval(min(self.lo, o.lo), max(self.hi, o.hi))
+
+    def expanded(self, margin: float) -> "R1Interval":
+        if self.is_empty():
+            return self
+        return R1Interval(self.lo - margin, self.hi + margin)
+
+
+class S1Interval:
+    """Closed interval on the circle, endpoints in [-π, π]; lo > hi wraps.
+
+    Full = [-π, π]; empty = [π, -π] (the family's convention).
+    """
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo: float, hi: float):
+        # normalize -π to π (except for full/empty sentinels)
+        if lo == -math.pi and hi != math.pi:
+            lo = math.pi
+        if hi == -math.pi and lo != math.pi:
+            hi = math.pi
+        self.lo = lo
+        self.hi = hi
+
+    @staticmethod
+    def empty() -> "S1Interval":
+        return S1Interval(math.pi, -math.pi)
+
+    @staticmethod
+    def full() -> "S1Interval":
+        return S1Interval(-math.pi, math.pi)
+
+    @staticmethod
+    def from_point_pair(p1: float, p2: float) -> "S1Interval":
+        """Minimal interval containing both points (shorter way around)."""
+        if p1 == -math.pi:
+            p1 = math.pi
+        if p2 == -math.pi:
+            p2 = math.pi
+        if _positive_distance(p1, p2) <= math.pi:
+            return S1Interval(p1, p2)
+        return S1Interval(p2, p1)
+
+    def is_full(self) -> bool:
+        return self.hi - self.lo == 2 * math.pi
+
+    def is_empty(self) -> bool:
+        return self.lo - self.hi == 2 * math.pi
+
+    def is_inverted(self) -> bool:
+        return self.lo > self.hi
+
+    def contains(self, p: float) -> bool:
+        if p == -math.pi:
+            p = math.pi
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def contains_interval(self, o: "S1Interval") -> bool:
+        if self.is_inverted():
+            if o.is_inverted():
+                return o.lo >= self.lo and o.hi <= self.hi
+            return (o.lo >= self.lo or o.hi <= self.hi) and not self.is_empty()
+        if o.is_inverted():
+            return self.is_full() or o.is_empty()
+        return o.lo >= self.lo and o.hi <= self.hi
+
+    def intersects(self, o: "S1Interval") -> bool:
+        if self.is_empty() or o.is_empty():
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo <= self.hi or o.hi >= self.lo
+        if o.is_inverted():
+            return o.lo <= self.hi or o.hi >= self.lo
+        return o.lo <= self.hi and o.hi >= self.lo
+
+    def union(self, o: "S1Interval") -> "S1Interval":
+        if o.is_empty():
+            return self
+        if self.is_empty():
+            return o
+        if self.contains_interval(o):
+            return self
+        if o.contains_interval(self):
+            return o
+        # join the two; pick the smaller result of the two possible unions
+        if self.contains(o.lo):
+            r = S1Interval(self.lo, o.hi)
+            if r.is_full() or r.contains_interval(self):
+                return r
+        if self.contains(o.hi):
+            r = S1Interval(o.lo, self.hi)
+            if r.is_full() or r.contains_interval(self):
+                return r
+        # disjoint: choose the union with the smaller complement gap
+        if _positive_distance(self.hi, o.lo) < _positive_distance(o.hi, self.lo):
+            return S1Interval(self.lo, o.hi)
+        return S1Interval(o.lo, self.hi)
+
+    def expanded(self, margin: float) -> "S1Interval":
+        if margin <= 0:
+            return self
+        if self.is_empty():
+            return self
+        if self.get_length() + 2 * margin >= 2 * math.pi - 1e-15:
+            return S1Interval.full()
+        lo = math.remainder(self.lo - margin, 2 * math.pi)
+        hi = math.remainder(self.hi + margin, 2 * math.pi)
+        if lo <= -math.pi:
+            lo = math.pi
+        return S1Interval(lo, hi)
+
+    def get_length(self) -> float:
+        length = self.hi - self.lo
+        if length >= 0:
+            return length
+        length += 2 * math.pi
+        return length if length > 0 else -1.0
+
+
+def _positive_distance(a: float, b: float) -> float:
+    d = b - a
+    if d >= 0:
+        return d
+    return (b + math.pi) - (a - math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Vector helpers
+# ---------------------------------------------------------------------------
+
+
+def cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def norm(a) -> float:
+    return math.sqrt(dot(a, a))
+
+
+def normalize(a):
+    n = norm(a)
+    return (a[0] / n, a[1] / n, a[2] / n)
+
+
+def robust_crossing(a, b, c, d) -> bool:
+    """True if great-circle arc AB strictly crosses CD (float64 determicate;
+    degenerate/shared-vertex cases resolve to False — fixture policy
+    SURVEY.md §7.3.3 keeps test data > 1e-9 rad away from edges)."""
+    ab = cross(a, b)
+    acb = -dot(ab, c)
+    bda = dot(ab, d)
+    if acb * bda <= 0:
+        return False
+    cd = cross(c, d)
+    cbd = -dot(cd, b)
+    dac = dot(cd, a)
+    return (acb * cbd > 0) and (acb * dac > 0)
+
+
+# ---------------------------------------------------------------------------
+# Cell geometry (S18): vertices, inward edge normals, point containment
+# ---------------------------------------------------------------------------
+
+
+def cell_edge_normals(cell_id: int) -> list[tuple[float, float, float]]:
+    """Inward-facing (non-unit) normals of the cell's 4 boundary great
+    circles, in edge order bottom/right/top/left (matching vertex k→k+1).
+
+    Derived as cross products of points on each u=const / v=const curve —
+    algebraically identical to the family's GetUNorm/GetVNorm tables.
+    """
+    face, u_lo, u_hi, v_lo, v_hi = _s2.cell_uv_bounds(cell_id)
+
+    def unorm(u):
+        return cross(_s2.face_uv_to_xyz(face, u, 0.0), _s2.face_uv_to_xyz(face, u, 1.0))
+
+    def vnorm(v):
+        return cross(_s2.face_uv_to_xyz(face, 0.0, v), _s2.face_uv_to_xyz(face, 1.0, v))
+
+    def neg(p):
+        return (-p[0], -p[1], -p[2])
+
+    return [vnorm(v_lo), unorm(u_hi), neg(vnorm(v_hi)), neg(unorm(u_lo))]
+
+
+def cell_contains_point(cell_id: int, p) -> bool:
+    """Exact-ish S2Cell.contains(point): project onto the cell's face."""
+    face, u_lo, u_hi, v_lo, v_hi = _s2.cell_uv_bounds(cell_id)
+    # Reject points on the opposite hemisphere of this face's axis.
+    axis = _s2.face_uv_to_xyz(face, 0.0, 0.0)
+    if dot(axis, p) <= 0:
+        return False
+    u, v = _s2.valid_face_xyz_to_uv(face, p[0], p[1], p[2])
+    return u_lo <= u <= u_hi and v_lo <= v <= v_hi
+
+
+# per-face z-component flags of the U/V axis directions (quadratic family)
+_U_AXIS_Z_NONZERO = (False, False, False, True, True, False)
+_V_AXIS_Z_NONZERO = (True, True, False, False, False, False)
+
+_FACE0_RECT = (-math.pi / 4, math.pi / 4)
+
+
+def cell_latlng_bound(cell_id: int) -> tuple[R1Interval, S1Interval]:
+    """Tight (lat R1Interval, lng S1Interval) bound of a cell, radians.
+
+    Level > 0: lat/lng extremes are attained at vertices — lat by one
+    diagonal vertex pair, lng by the other (the family's documented
+    GetRectBound property), expanded by 2·DBL_EPSILON with polar closure.
+    Level 0: fixed per-face bounds.
+    """
+    lvl = _s2.level(cell_id)
+    if lvl > 0:
+        face, u_lo, u_hi, v_lo, v_hi = _s2.cell_uv_bounds(cell_id)
+        u = u_lo + u_hi
+        v = v_lo + v_hi
+        i = int(u > 0) if _U_AXIS_Z_NONZERO[face] else int(u < 0)
+        j = int(v > 0) if _V_AXIS_Z_NONZERO[face] else int(v < 0)
+
+        us = (u_lo, u_hi)
+        vs = (v_lo, v_hi)
+
+        def vert_latlng(ii, jj):
+            x, y, z = _s2.face_uv_to_xyz(face, us[ii], vs[jj])
+            n = math.sqrt(x * x + y * y + z * z)
+            lat = math.asin(max(-1.0, min(1.0, z / n)))
+            lng = math.atan2(y, x)
+            return lat, lng
+
+        lat1, _lng1 = vert_latlng(i, j)
+        lat2, _lng2 = vert_latlng(1 - i, 1 - j)
+        _lat3, lng3 = vert_latlng(i, 1 - j)
+        _lat4, lng4 = vert_latlng(1 - i, j)
+        lat = R1Interval.from_point_pair(lat1, lat2).expanded(2 * DBL_EPSILON)
+        lat = R1Interval(max(lat.lo, -math.pi / 2), min(lat.hi, math.pi / 2))
+        lng = S1Interval.from_point_pair(lng3, lng4).expanded(2 * DBL_EPSILON)
+        # polar closure: a bound touching a pole must span all longitudes
+        if lat.lo <= -math.pi / 2 + 1e-15 or lat.hi >= math.pi / 2 - 1e-15:
+            lng = S1Interval.full()
+        return lat, lng
+    face = cell_id >> 61
+    q = math.pi / 4
+    if face == 0:
+        return R1Interval(-q, q), S1Interval(-q, q)
+    if face == 1:
+        return R1Interval(-q, q), S1Interval(q, 3 * q)
+    if face == 2:
+        return R1Interval(POLE_MIN_LAT, math.pi / 2), S1Interval.full()
+    if face == 3:
+        return R1Interval(-q, q), S1Interval(3 * q, -3 * q)
+    if face == 4:
+        return R1Interval(-q, q), S1Interval(-3 * q, -q)
+    return R1Interval(-math.pi / 2, -POLE_MIN_LAT), S1Interval.full()
