@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself, then calls ``entry()`` (smoke),
+``queries()[name](sf_dir)`` vs ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).  Nothing here may
+call ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-naming and float policy: every SQL-checked query emits integer
+keys/counts and integer cents/e4 money units (bit-exact across engines)
+or doubles produced by the *identical* IEEE-754 expression on both
+sides (see sources/geotag.py).  Queries whose semantics SQL cannot
+express (S2 cell ids, coverings, MinHash/SimHash, IVF-ANN, language-ID)
+have no oracle entry — the driver records the weaker rows-only check;
+their correctness lives in the pytest oracle (tests/).
 """
 
 from __future__ import annotations
@@ -18,27 +19,223 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: geotag → S2 cell assign → covering broadcast
+    spatial join → per-tile aggregate, on the smoke-scale tables."""
+    from s2geometry_ray.pipelines.flagship import flagship
+
+    return flagship(SF_SMOKE)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from s2geometry_ray.pipelines import flagship as F
+    from s2geometry_ray.pipelines import tpch as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q1(sf):
+        return T.q1_pricing_summary(sf)
+
+    def top_orders(sf):
+        return T.top_orders(sf)
+
+    def customer_order_stats(sf):
+        return T.customer_order_stats(sf)
+
+    def events_window_counts(sf):
+        return T.events_window_counts(sf)
+
+    def spatial_join_rect(sf):
+        return F.spatial_join_rect(sf)
+
+    def tile_assign_counts(sf):
+        return F.tile_assign_counts(sf)
+
+    def points_not_in_any_tile(sf):
+        return F.points_not_in_any_tile(sf)
+
+    def knn_events(sf):
+        return F.knn_events(sf, k=10)
+
+    def knn_events_pruned(sf):
+        return F.knn_events(sf, k=10, level=4)
+
+    def cell_assign_events(sf):
+        return F.cell_assign_events(sf)
+
+    def covering_tiles(sf):
+        return F.covering_tiles(sf)
+
+    def dedup_exact_docs(sf):
+        from s2geometry_ray.functions.dedup import exact_dedup_groups
+
+        return exact_dedup_groups(_docs(sf))
+
+    def dedup_doc_prefix16(sf):
+        from s2geometry_ray.functions.dedup import exact_dedup_groups
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def prefix(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("text"), "text",
+                pc.utf8_slice_codeunits(pc.cast(b["text"], pa.string()), 0, 16),
+            )
+
+        ds = _docs(sf).map_batches(prefix, batch_format="pyarrow")
+        return exact_dedup_groups(ds)
+
+    def token_stats_docs(sf):
+        from s2geometry_ray.functions.text import TokenStats
+
+        out = _docs(sf).map_batches(TokenStats, batch_format="pandas", concurrency=2)
+        return out.select_columns(["doc_id", "n_tokens", "n_punct", "text_len"])
+
+    def doc_quality(sf):
+        from s2geometry_ray.functions.text import QualityScore
+
+        out = _docs(sf).map_batches(QualityScore, batch_format="pandas", concurrency=2)
+        return out.select_columns(["doc_id", "n_words", "upper_ratio", "digit_ratio"])
+
+    def lang_id_docs(sf):
+        from s2geometry_ray.functions.text import LangId
+
+        out = _docs(sf).map_batches(LangId, batch_format="pandas", concurrency=2)
+        return out.select_columns(["doc_id", "lang_pred"])
+
+    def minhash_pairs_docs(sf):
+        from s2geometry_ray.functions.dedup import minhash_candidate_pairs
+
+        return minhash_candidate_pairs(_docs(sf))
+
+    def simhash_docs(sf):
+        from s2geometry_ray.functions.dedup import SimHasher
+
+        return _docs(sf).map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+
+    def _embeddings(sf):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf}/embeddings.parquet")
+
+    def _query_vectors(sf):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        mask = [v < 5 for v in t["vec_id"].to_pylist()]
+        qt = t.filter(mask)
+        qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = qids.argsort()
+        qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+        return qids[order], qm[order]
+
+    def ann_cosine_topk(sf):
+        import numpy as np
+        import pyarrow as pa
+
+        from s2geometry_ray.functions.ann import brute_topk
+
+        qids, qm = _query_vectors(sf)
+        res = brute_topk(_embeddings(sf), qm, k=20).to_pandas()
+        res["query_id"] = qids[res["query_idx"].to_numpy()]
+        res["vec_id"] = res["vec_id"].astype(np.int64)
+        return pa.table({
+            "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+            "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+        })
+
+    def ivf_topk_embeddings(sf):
+        from s2geometry_ray.functions.ann import ivf_topk
+
+        _qids, qm = _query_vectors(sf)
+        return ivf_topk(_embeddings(sf), qm, k=20)
+
+    def cosine_neardup_embeddings(sf):
+        from s2geometry_ray.functions.ann import cosine_neardup_pairs
+
+        out = cosine_neardup_pairs(_embeddings(sf), tau=0.9)
+        return out.select_columns(["key_a", "key_b"])
+
+    return {
+        "q1_pricing_summary": q1,
+        "top_orders": top_orders,
+        "customer_order_stats": customer_order_stats,
+        "events_window_counts": events_window_counts,
+        "spatial_join_rect": spatial_join_rect,
+        "tile_assign_counts": tile_assign_counts,
+        "points_not_in_any_tile": points_not_in_any_tile,
+        "knn_events": knn_events,
+        "knn_events_pruned": knn_events_pruned,
+        "cell_assign_events": cell_assign_events,
+        "covering_tiles": covering_tiles,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_doc_prefix16": dedup_doc_prefix16,
+        "token_stats_docs": token_stats_docs,
+        "doc_quality": doc_quality,
+        "lang_id_docs": lang_id_docs,
+        "minhash_pairs_docs": minhash_pairs_docs,
+        "simhash_docs": simhash_docs,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "cosine_neardup_embeddings": cosine_neardup_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from s2geometry_ray.pipelines import flagship as F
+    from s2geometry_ray.pipelines import tpch as T
+
+    return {
+        "q1_pricing_summary": T.Q1_SQL,
+        "top_orders": T.TOP_ORDERS_SQL,
+        "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,
+        "events_window_counts": T.EVENTS_WINDOW_SQL,
+        "spatial_join_rect": F.spatial_join_sql(),
+        "tile_assign_counts": F.tile_assign_counts_sql(),
+        "points_not_in_any_tile": F.points_not_in_any_tile_sql(),
+        "knn_events": F.knn_events_sql(10),
+        "knn_events_pruned": F.knn_events_sql(10),
+        "dedup_exact_docs": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+""",
+        "dedup_doc_prefix16": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY substr(text, 1, 16)
+""",
+        "token_stats_docs": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+        "doc_quality": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       len(regexp_extract_all(text, '[A-Z]')) / GREATEST(length(text), 1) AS upper_ratio,
+       len(regexp_extract_all(text, '[0-9]')) / GREATEST(length(text), 1) AS digit_ratio
+FROM documents
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+d AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q, embeddings e)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id
+FROM (SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM d)
+WHERE rn <= 20
+""",
+    }

@@ -1,0 +1,205 @@
+"""Pure-python image codecs: PPM (P6), BMP (24-bit), PNG (RGB8).
+
+The sandbox has no Pillow/cv2 (SURVEY.md §0), so the decode actor's
+codec state is implemented from the public format specs.  Encoders are
+deliberately narrow (PNG writes filter-0 rows only); decoders handle
+the full filter set (0–4) so an independent encoder's output would
+still decode.  All formats here are lossless ⇒ the decode-stage
+invariant is bit-exactness (PSNR = ∞; the ≥40 dB clause in
+BASELINE.json:15 applies only if a lossy format is added later).
+
+Pixels are (h, w, 3) uint8 RGB arrays throughout.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PPM (P6 binary)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, 24bpp, bottom-up, BGR)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24bpp BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB, all 5 filters on decode, filter 0 on encode)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)  # filter byte 0 per row
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    w = h = None
+    idat = b""
+    while i < len(data):
+        (length,) = struct.unpack_from(">I", data, i)
+        tag = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    return _unfilter(raw, h, w).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    return ENCODERS[fmt](pixels)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    return DECODERS[fmt](data)
+
+
+# JPEG is intentionally absent (no Pillow in the sandbox); a lossy codec
+# slots in here behind the same encode/decode interface, at which point
+# the PSNR≥40dB decode check in stages/decode.py activates.
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -126,9 +126,13 @@ class CapRegion(Region):
 class RectRegion(Region):
     """Closed lat interval × wrapping lng interval (radians internally)."""
 
-    def __init__(self, lat: R1Interval, lng: S1Interval):
+    def __init__(self, lat: R1Interval, lng: S1Interval, deg_bounds=None):
         self.lat = lat
         self.lng = lng
+        # (lat_lo, lat_hi, lng_lo, lng_hi) in degrees when constructed from
+        # degrees — lets the join refine in degree space, bit-identical to
+        # a SQL BETWEEN on the same bounds.
+        self.deg_bounds = deg_bounds
 
     @staticmethod
     def from_degrees(lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float) -> "RectRegion":
@@ -136,6 +140,7 @@ class RectRegion(Region):
         return RectRegion(
             R1Interval(math.radians(lat_lo), math.radians(lat_hi)),
             S1Interval(math.radians(lng_lo), math.radians(lng_hi)),
+            deg_bounds=(lat_lo, lat_hi, lng_lo, lng_hi),
         )
 
     def contains_points(self, xyz: np.ndarray) -> np.ndarray:
@@ -149,14 +154,16 @@ class RectRegion(Region):
         return ok & (lng >= self.lng.lo) & (lng <= self.lng.hi)
 
     def contains_latlng_deg(self, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
-        """Direct degree-space test (bit-identical to a SQL BETWEEN when the
-        rect was built from the same degree bounds and doesn't wrap)."""
-        la = np.deg2rad(lat)
-        lo = np.deg2rad(lng)
-        ok = (la >= self.lat.lo) & (la <= self.lat.hi)
-        if self.lng.is_inverted():
-            return ok & ((lo >= self.lng.lo) | (lo <= self.lng.hi))
-        return ok & (lo >= self.lng.lo) & (lo <= self.lng.hi)
+        """Degree-space closed-interval test, bit-identical to a SQL
+        ``lat BETWEEN lo AND hi AND lng BETWEEN lo AND hi`` on the same
+        bounds (no unit conversion on the comparison path)."""
+        if self.deg_bounds is None:
+            raise ValueError("rect was not built from degree bounds")
+        lat_lo, lat_hi, lng_lo, lng_hi = self.deg_bounds
+        ok = (lat >= lat_lo) & (lat <= lat_hi)
+        if lng_lo > lng_hi:  # wraps ±180
+            return ok & ((lng >= lng_lo) | (lng <= lng_hi))
+        return ok & (lng >= lng_lo) & (lng <= lng_hi)
 
     def may_intersect_cell(self, cell_id: int) -> bool:
         clat, clng = cell_latlng_bound(cell_id)

@@ -1,0 +1,162 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's generic dataflow operators (filters,
+pre-aggregated groupbys, broadcast joins, sort/top-k, windowed counts —
+SURVEY.md §3.4 O6/O13/O15) with DuckDB-checkable semantics.  Money
+sums are computed in integer cents/e4-units so Ray and SQL agree
+bit-exactly regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary: filter + two-phase grouped aggregate (exact ints)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1997-01-01T00:00:00", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship < cutoff
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(batch["l_returnflag"])[keep],
+            "l_linestatus": np.asarray(batch["l_linestatus"])[keep],
+            "qty": batch["l_quantity"].to_numpy(zero_copy_only=False)[keep].astype(np.int64),
+            "base_cents": np.round(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+            ).astype(np.int64),
+            "disc_e4": np.round(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+                * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+                * 10000
+            ).astype(np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("qty", "size"), sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"), sum_disc_e4=("disc_e4", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k by price (range-shuffle sort + limit, O13)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def customer_order_stats(sf_dir: str):
+    """Broadcast join (small dimension via ray.put) + grouped aggregate."""
+    import ray
+
+    cust = pa.parquet.read_table(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                   cust["c_mktsegment"].to_pylist())))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    class JoinSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_pylist()
+            seg = [self.seg.get(k) for k in keys]
+            cents = np.round(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            df = pd.DataFrame({"c_mktsegment": seg, "cents": cents})
+            df = df[df["c_mktsegment"].notna()]
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(JoinSegment, batch_format="pyarrow", concurrency=2)
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def events_window_counts(sf_dir: str):
+    """Tumbling daily window per event_type (streaming-shaped workload
+    mapped to a grouped aggregate, SURVEY.md §3.6 policy)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        df = pd.DataFrame({
+            "event_type": np.asarray(batch["event_type"]),
+            "day_bucket": ts // _US_PER_DAY,
+            "value_cents": np.round(
+                batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64),
+        })
+        g = df.groupby(["event_type", "day_bucket"], as_index=False).agg(
+            n=("value_cents", "size"), value_cents=("value_cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["event_type", "day_bucket"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type,
+  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type, day_bucket
+"""

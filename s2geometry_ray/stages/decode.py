@@ -1,0 +1,94 @@
+"""O11 decode actor pool: bytes → pixels → phash verify (+ features).
+
+The multimodal stage (SURVEY.md §3.4 O11/O12): an actor-pool
+``map_batches`` class whose ``__init__`` holds codec state (dispatch
+tables, scratch config) once per actor, and whose ``__call__`` decodes
+a batch of encoded images, recomputes the perceptual hash, verifies it
+against the stored ``phash`` column (bit-exact — all sandbox codecs are
+lossless; a lossy codec would switch this to the PSNR ≥ 40 dB check),
+and emits compact per-image features instead of pixels (mean RGB,
+brightness, phash_ok) so pixel payloads never cross a shuffle
+(SURVEY.md §7.3.5).
+
+Batch sizes stay small (images are KB–MB each); concurrency × num_cpus
+sizes the pool (decode is pure-python → 1 CPU per actor).
+
+``raster_to_vector`` is the O12 handoff: per-image bright-region
+bounding boxes (threshold + row/col extents) → rect features that feed
+the tiles side of the spatial join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from s2geometry_ray.kernels import codecs
+from s2geometry_ray.kernels.phash import phash64_i64
+
+
+class DecodeActor:
+    def __init__(self, verify_phash: bool = True, with_boxes: bool = False,
+                 box_threshold: int = 200):
+        self.decoders = dict(codecs.DECODERS)  # per-actor codec state
+        self.verify_phash = verify_phash
+        self.with_boxes = with_boxes
+        self.box_threshold = box_threshold
+
+    def _boxes(self, pixels: np.ndarray) -> list:
+        gray = pixels.astype(np.int32).sum(axis=2) // 3
+        mask = gray >= self.box_threshold
+        if not mask.any():
+            return []
+        ys, xs = np.nonzero(mask)
+        return [{"y0": int(ys.min()), "y1": int(ys.max()),
+                 "x0": int(xs.min()), "x1": int(xs.max())}]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        stored = batch["phash"].to_numpy(zero_copy_only=False)
+        n = len(data)
+        mean_r = np.empty(n)
+        mean_g = np.empty(n)
+        mean_b = np.empty(n)
+        ph = np.empty(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        boxes = []
+        for i in range(n):
+            pixels = self.decoders[fmts[i]](data[i])
+            mean_r[i] = pixels[:, :, 0].mean()
+            mean_g[i] = pixels[:, :, 1].mean()
+            mean_b[i] = pixels[:, :, 2].mean()
+            ph[i] = phash64_i64(pixels)
+            ok[i] = (not self.verify_phash) or ph[i] == stored[i]
+            if self.with_boxes:
+                boxes.append(self._boxes(pixels))
+        out = {
+            "image_id": batch["image_id"],
+            "caption": batch["caption"],
+            "w": batch["w"],
+            "h": batch["h"],
+            "fmt": batch["fmt"],
+            "phash": pa.array(ph, type=pa.int64()),
+            "phash_ok": pa.array(ok),
+            "mean_r": pa.array(mean_r),
+            "mean_g": pa.array(mean_g),
+            "mean_b": pa.array(mean_b),
+        }
+        if self.with_boxes:
+            out["boxes"] = pa.array(boxes)
+        return pa.table(out)
+
+
+def decode_stage(ds, concurrency: int = 4, batch_size: int = 128,
+                 with_boxes: bool = False):
+    """Attach the decode actor pool to an images Dataset."""
+    return ds.map_batches(
+        DecodeActor,
+        fn_constructor_kwargs=dict(with_boxes=with_boxes),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

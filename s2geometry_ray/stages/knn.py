@@ -1,0 +1,220 @@
+"""O8 kNN: k nearest points to each query (SURVEY.md §3.4 O8, §4.3).
+
+Two plans over the same distributed skeleton:
+
+- **brute**: every batch computes a (B×Q) chord² distance block via one
+  matmul against the broadcast query matrix and emits a per-batch
+  partial top-k per query (Q·k rows per batch — tiny); a final
+  ``groupby(query_id).map_groups`` merges partials.  Exact by
+  construction; the right plan when Q is small.
+- **cell-pruned** (the scale path): each query expands S2 neighbor
+  rings (S15/S16) at a chosen level; batches are pre-filtered by
+  membership of their leaf cell in the normalized union of all
+  candidate cells (single ``searchsorted`` on disjoint ranges), so only
+  points near any query pay the distance matmul.  Completeness is
+  *proved* per query with an admissible bound — the minimum
+  center-distance-minus-circumradius over the first ring OUTSIDE the
+  candidate set; queries whose kth distance exceeds their bound fall
+  back to a brute second pass (rare at sane levels).
+
+Distance = squared chord ‖p−q‖² — monotone in angle, and the exact
+expression a SQL oracle can reproduce.  Ties break on the point key.
+No full-table shuffle in either plan: the only exchange is the Q·k-row
+partial-top-k stream into a tiny groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from s2geometry_ray.kernels import cellid as vk
+from s2geometry_ray.kernels.covering import normalize_cell_union
+from s2geometry_ray.oracle import s2 as _s2
+
+
+def _cell_circumradius(cell_id: int) -> float:
+    c = _s2.to_point(cell_id)
+    return max(_s2.angle(c, v) for v in _s2.cell_vertices(cell_id))
+
+
+def candidate_cells_for_query(qxyz: np.ndarray, level: int, rings: int
+                              ) -> tuple[list[int], float]:
+    """(candidate cell ids at ``level``, admissible distance bound in rad).
+
+    Candidates = seed cell + ``rings`` 8-neighbor rings.  The bound is
+    min over the NEXT ring (outside the set) of
+    max(0, angle(q, center) − circumradius) — any point outside the
+    candidate set is at least this far from q.
+    """
+    seed = int(_s2.parent(_s2.from_point(*qxyz), level))
+    cells = {seed}
+    frontier = {seed}
+    for _ in range(rings):
+        nxt = set()
+        for c in frontier:
+            nxt.update(_s2.all_neighbors(c, level))
+        frontier = nxt - cells
+        cells |= frontier
+    outer = set()
+    for c in frontier:
+        outer.update(_s2.all_neighbors(c, level))
+    outer -= cells
+    bound = np.inf
+    q = tuple(qxyz)
+    for c in outer:
+        d = _s2.angle(q, _s2.to_point(c)) - _cell_circumradius(c)
+        bound = min(bound, max(0.0, d))
+    return sorted(cells), float(bound)
+
+
+class QueryIndex:
+    """Broadcast side of the kNN: query ids, xyz matrix, and (for the
+    pruned plan) the normalized union of candidate cell ranges plus the
+    per-query completeness bound (as squared chord)."""
+
+    def __init__(self, query_ids, qlat, qlng, level=None, rings=2):
+        self.query_ids = np.asarray(query_ids)
+        self.qxyz = vk.latlng_to_xyz(np.asarray(qlat, float), np.asarray(qlng, float))
+        self.level = level
+        self.bounds_chord2 = None
+        self.range_min = None
+        self.range_max = None
+        if level is not None:
+            all_cells: list[int] = []
+            bounds = np.empty(len(self.query_ids))
+            for i in range(len(self.query_ids)):
+                cells, b = candidate_cells_for_query(self.qxyz[i], level, rings)
+                all_cells.extend(cells)
+                bounds[i] = b
+            union = normalize_cell_union(all_cells)
+            self.range_min = np.array([_s2.range_min(c) for c in union], dtype=np.uint64)
+            self.range_max = np.array([_s2.range_max(c) for c in union], dtype=np.uint64)
+            # angle → squared chord: ‖p−q‖² = 4·sin²(θ/2)
+            self.bounds_chord2 = (2.0 * np.sin(np.minimum(bounds, np.pi) / 2.0)) ** 2
+
+    def member_mask(self, leaf: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.range_min, leaf, side="right") - 1
+        ok = idx >= 0
+        idx = np.clip(idx, 0, len(self.range_min) - 1)
+        return ok & (leaf <= self.range_max[idx])
+
+
+class KnnActor:
+    """Partial top-k per batch.  ``map_batches(KnnActor,
+    fn_constructor_args=(index_ref, k, key_col), concurrency=N,
+    batch_format="pyarrow")`` — emits ≤ Q·k rows per batch."""
+
+    CHUNK = 8192  # rows per distance matmul block (bounds peak memory)
+
+    def __init__(self, index_ref, k: int, key_col: str,
+                 lat_col: str = "lat", lng_col: str = "lng",
+                 leaf_col: str | None = None):
+        import ray
+
+        self.index: QueryIndex = (
+            ray.get(index_ref) if not isinstance(index_ref, QueryIndex) else index_ref
+        )
+        self.k = k
+        self.key_col = key_col
+        self.lat_col = lat_col
+        self.lng_col = lng_col
+        self.leaf_col = leaf_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        if self.index.range_min is not None and self.leaf_col is not None:
+            leaf = batch[self.leaf_col].to_numpy(zero_copy_only=False)
+            mask = self.index.member_mask(leaf)
+            lat, lng, keys = lat[mask], lng[mask], keys[mask]
+        n = lat.shape[0]
+        q = self.index.qxyz
+        nq = q.shape[0]
+        if n == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                self.key_col: pa.array([], type=batch.schema.field(self.key_col).type),
+                "dist": pa.array([], type=pa.float64()),
+            })
+        out_q, out_key, out_d = [], [], []
+        xyz = vk.latlng_to_xyz(lat, lng)
+        for s in range(0, n, self.CHUNK):
+            blk = xyz[s : s + self.CHUNK]
+            # ‖p−q‖² = 2 − 2·p·q  (unit vectors); computed as the exact
+            # componentwise expression to mirror the SQL oracle bit-wise.
+            dx = blk[:, 0][:, None] - q[:, 0][None, :]
+            dy = blk[:, 1][:, None] - q[:, 1][None, :]
+            dz = blk[:, 2][:, None] - q[:, 2][None, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            kk = min(self.k, blk.shape[0])
+            part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # (kk, Q)
+            bk = keys[s : s + self.CHUNK]
+            for qi in range(nq):
+                rows = part[:, qi]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_key.append(bk[rows])
+                out_d.append(d2[rows, qi])
+        qidx = np.concatenate(out_q)
+        return pa.table({
+            "query_id": pa.array(self.index.query_ids[qidx]),
+            self.key_col: pa.array(np.concatenate(out_key)),
+            "dist": pa.array(np.concatenate(out_d), type=pa.float64()),
+        })
+
+
+def _final_topk(k: int, key_col: str):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", key_col], kind="mergesort").head(k)
+        return g
+
+    return merge
+
+
+def knn(ds, query_ids, qlat, qlng, k: int, key_col: str,
+        lat_col="lat", lng_col="lng", leaf_col=None, level=None, rings=2,
+        keep_dist=False):
+    """Distributed kNN over a Dataset with lat/lng columns.
+
+    ``level=None`` → brute plan; ``level=L`` → cell-pruned plan with a
+    brute fallback for queries whose completeness bound fails (exactness
+    is unconditional).  Returns a Dataset (query_id, key[, dist]).
+    """
+    import ray
+
+    index = QueryIndex(query_ids, qlat, qlng, level=level, rings=rings)
+    index_ref = ray.put(index)
+    partials = ds.map_batches(
+        KnnActor,
+        fn_constructor_args=(index_ref, k, key_col, lat_col, lng_col,
+                             leaf_col if level is not None else None),
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=4,
+    )
+    result = partials.groupby("query_id").map_groups(
+        _final_topk(k, key_col), batch_format="pandas"
+    )
+    if level is not None:
+        # completeness guard: any query whose kth distance exceeds its
+        # admissible bound reruns on the unpruned table (exact fallback).
+        res = result.to_pandas()
+        bounds = dict(zip(index.query_ids.tolist(), index.bounds_chord2))
+        bad = [
+            qid
+            for qid, g in res.groupby("query_id")
+            if len(g) < k or g["dist"].iloc[-1] > bounds[qid]
+        ]
+        if bad:
+            sel = np.isin(index.query_ids, bad)
+            redo = knn(ds, index.query_ids[sel], np.asarray(qlat)[sel],
+                       np.asarray(qlng)[sel], k, key_col, lat_col, lng_col,
+                       keep_dist=True)
+            res = pd.concat([res[~res["query_id"].isin(bad)], redo.to_pandas()])
+            res = res.sort_values(["query_id", "dist", key_col], kind="mergesort")
+        result = ray.data.from_pandas(res.reset_index(drop=True))
+    if keep_dist:
+        return result
+    return result.select_columns(["query_id", key_col])

@@ -1,0 +1,196 @@
+"""O4/O5 spatial join: points-in-region via broadcast covering table.
+
+Plan (SURVEY.md §4.2): the tiles side is small (10³–10⁶ regions), so it
+is covered once, exploded to a (tile, cell, range, interior) table,
+``ray.put`` into the object store ONCE, and every join actor pulls it in
+``__init__`` — a map-side broadcast join with **zero shuffle** of the
+point table.  Per batch:
+
+1. probe: for each covering level ℓ present, ``parent(leaf, ℓ)`` is
+   binary-searched (exact match) against the sorted covering cells of
+   that level — O(#levels · log C) per point, fully vectorized;
+2. ``interior`` covering cells accept immediately (no exact test);
+3. boundary candidates run the exact region predicate, vectorized per
+   tile, only on the few % of points in boundary cells.
+
+Per-tile coverings are normalized (disjoint ranges), so a point matches
+a tile at most once — no dedup pass.
+
+Scale notes: the broadcast side is O(tiles · max_cells) ≈ tens of MB at
+10⁶ tiles — object-store resident, shared read-only by every actor on a
+node.  If tiles outgrow broadcast, the documented fallback is a hash
+join on ``cell_l<K>`` (both sides keyed by the same Hilbert prefix);
+the probe kernel is unchanged.  Covering construction is itself
+parallelized with ``map_batches`` over the tiles table when tile counts
+are large (``build_covering_distributed``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from s2geometry_ray.kernels import cellid as vk
+from s2geometry_ray.kernels.covering import get_covering
+from s2geometry_ray.kernels.regions import RectRegion, Region
+from s2geometry_ray.oracle import s2 as _s2
+
+
+class CoveringIndex:
+    """Immutable probe structure built from an exploded covering table.
+
+    Grouped by level: for each level a sorted uint64 array of covering
+    cell ids plus row indices into the flat (tile_idx, interior) arrays.
+    """
+
+    def __init__(self, tile_ids: list[str], regions: list[Region],
+                 cov_cells: np.ndarray, cov_tile_idx: np.ndarray,
+                 cov_interior: np.ndarray):
+        self.tile_ids = tile_ids
+        self.regions = regions
+        levels = np.array([_s2.level(int(c)) for c in cov_cells], dtype=np.int64)
+        self.by_level = []
+        for lvl in np.unique(levels):
+            mask = levels == lvl
+            cells = cov_cells[mask]
+            rows = np.nonzero(mask)[0]
+            order = np.argsort(cells, kind="stable")
+            self.by_level.append((int(lvl), cells[order], rows[order]))
+        self.tile_idx = cov_tile_idx
+        self.interior = cov_interior
+
+    @staticmethod
+    def build(tiles: list[tuple[str, Region]], max_cells: int = 64,
+              max_level: int = 14) -> "CoveringIndex":
+        tile_ids = [t[0] for t in tiles]
+        regions = [t[1] for t in tiles]
+        cells: list[int] = []
+        tidx: list[int] = []
+        interior: list[bool] = []
+        for k, region in enumerate(regions):
+            for cid in get_covering(region, max_cells=max_cells, max_level=max_level):
+                cells.append(cid)
+                tidx.append(k)
+                interior.append(region.contains_cell(cid))
+        return CoveringIndex(
+            tile_ids,
+            regions,
+            np.asarray(cells, dtype=np.uint64),
+            np.asarray(tidx, dtype=np.int64),
+            np.asarray(interior, dtype=bool),
+        )
+
+    def probe(self, leaf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """leaf (N,) uint64 → candidate pairs (point_idx, covering_row)."""
+        pts: list[np.ndarray] = []
+        rows: list[np.ndarray] = []
+        n = leaf.shape[0]
+        arange = np.arange(n)
+        for lvl, cells_sorted, row_idx in self.by_level:
+            pid = vk.parent(leaf, lvl)
+            lo = np.searchsorted(cells_sorted, pid, side="left")
+            hi = np.searchsorted(cells_sorted, pid, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            reps = np.repeat(arange, counts)
+            intra = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            pts.append(reps)
+            rows.append(row_idx[np.repeat(lo, counts) + intra])
+        if not pts:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        return np.concatenate(pts), np.concatenate(rows)
+
+    def match(self, leaf: np.ndarray, lat: np.ndarray, lng: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (point_idx, tile_idx) exact join pairs for one batch."""
+        p_idx, c_rows = self.probe(leaf)
+        if p_idx.size == 0:
+            return p_idx, p_idx
+        t_idx = self.tile_idx[c_rows]
+        inner = self.interior[c_rows]
+        out_p = [p_idx[inner]]
+        out_t = [t_idx[inner]]
+        # exact refinement, grouped by tile so each region tests a vector
+        bp = p_idx[~inner]
+        bt = t_idx[~inner]
+        if bp.size:
+            xyz = None
+            order = np.argsort(bt, kind="stable")
+            bp, bt = bp[order], bt[order]
+            bounds = np.searchsorted(bt, np.arange(len(self.regions) + 1))
+            for t in np.unique(bt):
+                s, e = bounds[t], bounds[t + 1]
+                pts_t = bp[s:e]
+                region = self.regions[t]
+                if isinstance(region, RectRegion) and region.deg_bounds is not None:
+                    ok = region.contains_latlng_deg(lat[pts_t], lng[pts_t])
+                else:
+                    if xyz is None:
+                        xyz = vk.latlng_to_xyz(lat, lng)
+                    ok = region.contains_points(xyz[pts_t])
+                out_p.append(pts_t[ok])
+                out_t.append(np.full(int(ok.sum()), t, dtype=np.int64))
+        return np.concatenate(out_p), np.concatenate(out_t)
+
+
+class SpatialJoinActor:
+    """Actor-pool join stage: ``map_batches(SpatialJoinActor, fn_constructor_args=(ref,),
+    concurrency=N, batch_format="pyarrow")``.
+
+    ``__init__`` pulls the broadcast CoveringIndex from the object store
+    once per actor (SURVEY.md §7.1); ``__call__`` joins one batch.
+    Emits one row per (point, tile) match: the configured key columns
+    plus ``tile_id``.
+    """
+
+    def __init__(self, index_ref, keep_cols: list[str], leaf_col: str = "cell_id",
+                 lat_col: str = "lat", lng_col: str = "lng", mode: str = "join"):
+        import ray
+
+        self.index: CoveringIndex = (
+            ray.get(index_ref) if not isinstance(index_ref, CoveringIndex) else index_ref
+        )
+        self.keep_cols = keep_cols
+        self.leaf_col = leaf_col
+        self.lat_col = lat_col
+        self.lng_col = lng_col
+        self.mode = mode  # "join" → (point, tile) rows; "anti" → unmatched points
+        self._tile_ids_arr = np.asarray(self.index.tile_ids, dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        leaf = batch[self.leaf_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
+        p_idx, t_idx = self.index.match(leaf, lat, lng)
+        if self.mode == "anti":
+            mask = np.ones(len(batch), dtype=bool)
+            mask[p_idx] = False
+            return batch.select(self.keep_cols).filter(pa.array(mask))
+        cols = {}
+        for c in self.keep_cols:
+            cols[c] = batch[c].take(pa.array(p_idx, type=pa.int64()))
+        cols["tile_id"] = pa.array(self._tile_ids_arr[t_idx].tolist())
+        return pa.table(cols)
+
+
+def tiles_from_keys(keys: np.ndarray, prefix: str = "tile") -> list[tuple[str, RectRegion]]:
+    """Deterministic rect tiles from integer keys (gate tiles — the SQL
+    twin is sources.geotag.tile_bounds_sql)."""
+    from s2geometry_ray.sources.geotag import tile_bounds
+
+    b = tile_bounds(keys)
+    out = []
+    for i, k in enumerate(np.asarray(keys, dtype=np.int64)):
+        out.append(
+            (
+                f"{prefix}{int(k)}",
+                RectRegion.from_degrees(
+                    float(b["lat_lo"][i]), float(b["lat_hi"][i]),
+                    float(b["lng_lo"][i]), float(b["lng_hi"][i]),
+                ),
+            )
+        )
+    return out

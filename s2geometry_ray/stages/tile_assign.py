@@ -1,0 +1,107 @@
+"""O6/O7 tile assignment: grouped aggregates with pre-aggregation + salting.
+
+The wide step of the engine (SURVEY.md §4.1).  Two building blocks:
+
+- ``partial_group_agg``: a ``map_batches`` combiner that collapses each
+  batch to one row per key (count / sum / min / max) BEFORE the
+  shuffle, so the ``groupby`` exchanges #keys·#batches rows instead of
+  the full table.  For algebraic aggregates this removes skew entirely
+  — a hot key costs one row per batch regardless of its row count.
+- ``salted_map_groups``: for non-algebraic per-group logic, appends
+  ``salt = hash64(row_key) % S`` and runs
+  ``groupby(key, salt).map_groups`` then a second tiny
+  ``groupby(key)`` merge — no reducer ever sees more than
+  ~target_rows_per_group rows (SURVEY.md §7.3.4 skew policy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def partial_group_agg(key_col: str, value_col: str | None = None):
+    """Batch combiner: one output row per distinct key per batch with
+    columns n (count) and, when value_col given, s/mn/mx partials."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq))
+        cols = {key_col: pa.array(uniq), "n": pa.array(n.astype(np.int64))}
+        if value_col is not None:
+            vals = batch[value_col].to_numpy(zero_copy_only=False)
+            s = np.bincount(inv, weights=vals, minlength=len(uniq))
+            mn = np.full(len(uniq), np.inf)
+            np.minimum.at(mn, inv, vals)
+            mx = np.full(len(uniq), -np.inf)
+            np.maximum.at(mx, inv, vals)
+            cols.update({"s": pa.array(s), "mn": pa.array(mn), "mx": pa.array(mx)})
+        return pa.table(cols)
+
+    return _fn
+
+
+def grouped_stats(ds, key_col: str, value_col: str | None = None):
+    """count/sum/min/max per key with map-side pre-aggregation; the
+    shuffle moves only per-batch partials."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = ds.map_batches(partial_group_agg(key_col, value_col),
+                             batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n")]
+    if value_col is not None:
+        aggs += [Sum("s", alias_name="s"), Min("mn", alias_name="mn"),
+                 Max("mx", alias_name="mx")]
+    return partial.groupby(key_col).aggregate(*aggs)
+
+
+def _hash64(arr: np.ndarray) -> np.ndarray:
+    """Deterministic splitmix64 over int64/uint64 keys (salt hashing)."""
+    x = arr.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def add_salt(ds, key_col: str, salt_per_key: dict, row_key_col: str,
+             salt_col: str = "salt"):
+    """Append a bounded salt column: hash64(row_key) % S(key), S from a
+    count sketch (1 for cold keys)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        svals = np.array([salt_per_key.get(k, 1) for k in keys.tolist()],
+                         dtype=np.uint64)
+        h = _hash64(batch[row_key_col].to_numpy(zero_copy_only=False))
+        return batch.append_column(salt_col, pa.array((h % svals).astype(np.int64)))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def salt_plan(ds, key_col: str, target_rows_per_group: int,
+              sample_fraction: float = 0.05, seed: int = 7) -> dict:
+    """Count-sketch pass (sampled, pre-aggregated) → {hot_key: S}."""
+    sample = ds.random_sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else ds
+    counts = grouped_stats(sample, key_col).to_pandas()
+    est = counts["n"] / max(sample_fraction, 1e-9)
+    hot = counts[est > target_rows_per_group]
+    return {
+        k: int(np.ceil(e / target_rows_per_group))
+        for k, e in zip(hot[key_col].tolist(), est[hot.index].tolist())
+    }
+
+
+def salted_map_groups(ds, key_col: str, row_key_col: str, partial_fn, merge_fn,
+                      target_rows_per_group: int = 100_000,
+                      sample_fraction: float = 0.05):
+    """groupby(key).map_groups with hot keys split across salted
+    sub-groups:  partial_fn runs per (key, salt) group, merge_fn per key
+    over the partials.  Both are pandas→pandas."""
+    plan = salt_plan(ds, key_col, target_rows_per_group, sample_fraction)
+    salted = add_salt(ds, key_col, plan, row_key_col)
+    partials = salted.groupby([key_col, "salt"]).map_groups(partial_fn,
+                                                            batch_format="pandas")
+    return partials.groupby(key_col).map_groups(merge_fn, batch_format="pandas")
