@@ -82,11 +82,14 @@ def brute_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
         concurrency=concurrency,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["sim", key_col], ascending=[False, True],
-                             kind="mergesort").head(k)
+    def merge_all(batch: pd.DataFrame) -> pd.DataFrame:
+        # bounded single reduce (≤ Q·k rows per upstream block)
+        batch = batch.sort_values(["query_idx", "sim", key_col],
+                                  ascending=[True, False, True], kind="mergesort")
+        return batch.groupby("query_idx", as_index=False, sort=False).head(k)
 
-    return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
+    return partials.repartition(1).map_batches(merge_all, batch_format="pandas",
+                                               batch_size=None)
 
 
 def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,

@@ -82,7 +82,9 @@ class MinHasher:
         return pa.table({
             self.key_col: pa.array(np.repeat(keys, self.bands)),
             "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int64), n)),
-            "band_hash": pa.array(band_hash.reshape(-1), type=pa.uint64()),
+            # int64 bit-view: band_hash is a groupby key (uint64 keys hit a
+            # slow overflow fallback in Ray's aggregate — SURVEY.md §7.3.2)
+            "band_hash": pa.array(band_hash.reshape(-1).view(np.int64), type=pa.int64()),
         })
 
 

@@ -112,4 +112,6 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         dtype=np.uint64,
         count=len(texts),
     )
-    return batch.append_column("fp64", pa.array(out, type=pa.uint64()))
+    # int64 bit-view: fp64 is a groupby key and Ray aggregates hash int64
+    # natively but mis-handle uint64 (overflow fallback path)
+    return batch.append_column("fp64", pa.array(out.view(np.int64), type=pa.int64()))

@@ -17,7 +17,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from s2geometry_ray.sources.geotag import (
     derive_lat,
@@ -60,12 +59,11 @@ def _join_ds(sf_dir: str, keep_cols: list[str], mode: str = "join"):
     index_ref = ray.put(index)
     pts = _points_ds(sf_dir, extra_cols=tuple(c for c in keep_cols
                                               if c not in ("event_id",)))
+    from s2geometry_ray.stages.spatial_join import make_spatial_join_fn
+
     return pts.map_batches(
-        SpatialJoinActor,
-        fn_constructor_args=(index_ref, keep_cols),
-        fn_constructor_kwargs=dict(mode=mode),
+        make_spatial_join_fn(index_ref, keep_cols, mode=mode),
         batch_format="pyarrow",
-        concurrency=4,
     )
 
 
@@ -104,9 +102,11 @@ def tile_assign_counts(sf_dir: str):
             n=("cents", "size"), value_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
     partials = joined.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("tile_key").aggregate(
-        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    return combine_partials(partials, "tile_key",
+                            {"n": "sum", "value_cents": "sum"})
 
 
 def tile_assign_counts_sql() -> str:

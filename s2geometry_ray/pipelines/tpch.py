@@ -14,7 +14,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 _US_PER_DAY = 86_400_000_000
 
@@ -50,12 +49,13 @@ def q1_pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("n", alias_name="n"),
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+    return combine_partials(
+        partials, ["l_returnflag", "l_linestatus"],
+        {"n": "sum", "sum_qty": "sum", "sum_base_cents": "sum",
+         "sum_disc_e4": "sum"},
     )
 
 
@@ -111,11 +111,11 @@ def customer_order_stats(sf_dir: str):
                 n_orders=("cents", "size"), total_cents=("cents", "sum"))
             return pa.Table.from_pandas(g, preserve_index=False)
 
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
     partials = ds.map_batches(JoinSegment, batch_format="pyarrow", concurrency=2)
-    return partials.groupby("c_mktsegment").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"),
-    )
+    return combine_partials(partials, "c_mktsegment",
+                            {"n_orders": "sum", "total_cents": "sum"})
 
 
 CUSTOMER_ORDER_STATS_SQL = """
@@ -145,11 +145,11 @@ def events_window_counts(sf_dir: str):
             n=("value_cents", "size"), value_cents=("value_cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["event_type", "day_bucket"]).aggregate(
-        Sum("n", alias_name="n"),
-        Sum("value_cents", alias_name="value_cents"),
-    )
+    return combine_partials(partials, ["event_type", "day_bucket"],
+                            {"n": "sum", "value_cents": "sum"})
 
 
 EVENTS_WINDOW_SQL = """

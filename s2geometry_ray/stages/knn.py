@@ -101,74 +101,74 @@ class QueryIndex:
         return ok & (leaf <= self.range_max[idx])
 
 
-class KnnActor:
-    """Partial top-k per batch.  ``map_batches(KnnActor,
-    fn_constructor_args=(index_ref, k, key_col), concurrency=N,
-    batch_format="pyarrow")`` — emits ≤ Q·k rows per batch."""
+_CHUNK = 8192  # rows per distance matmul block (bounds peak memory)
 
-    CHUNK = 8192  # rows per distance matmul block (bounds peak memory)
 
-    def __init__(self, index_ref, k: int, key_col: str,
-                 lat_col: str = "lat", lng_col: str = "lng",
-                 leaf_col: str | None = None):
-        import ray
-
-        self.index: QueryIndex = (
-            ray.get(index_ref) if not isinstance(index_ref, QueryIndex) else index_ref
-        )
-        self.k = k
-        self.key_col = key_col
-        self.lat_col = lat_col
-        self.lng_col = lng_col
-        self.leaf_col = leaf_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
-        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        if self.index.range_min is not None and self.leaf_col is not None:
-            leaf = batch[self.leaf_col].to_numpy(zero_copy_only=False)
-            mask = self.index.member_mask(leaf)
-            lat, lng, keys = lat[mask], lng[mask], keys[mask]
-        n = lat.shape[0]
-        q = self.index.qxyz
-        nq = q.shape[0]
-        if n == 0:
-            return pa.table({
-                "query_id": pa.array([], type=pa.int64()),
-                self.key_col: pa.array([], type=batch.schema.field(self.key_col).type),
-                "dist": pa.array([], type=pa.float64()),
-            })
-        out_q, out_key, out_d = [], [], []
-        xyz = vk.latlng_to_xyz(lat, lng)
-        for s in range(0, n, self.CHUNK):
-            blk = xyz[s : s + self.CHUNK]
-            # ‖p−q‖² = 2 − 2·p·q  (unit vectors); computed as the exact
-            # componentwise expression to mirror the SQL oracle bit-wise.
-            dx = blk[:, 0][:, None] - q[:, 0][None, :]
-            dy = blk[:, 1][:, None] - q[:, 1][None, :]
-            dz = blk[:, 2][:, None] - q[:, 2][None, :]
-            d2 = dx * dx + dy * dy + dz * dz
-            kk = min(self.k, blk.shape[0])
-            part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # (kk, Q)
-            bk = keys[s : s + self.CHUNK]
-            for qi in range(nq):
-                rows = part[:, qi]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_key.append(bk[rows])
-                out_d.append(d2[rows, qi])
-        qidx = np.concatenate(out_q)
+def knn_batch(index: QueryIndex, batch: pa.Table, k: int, key_col: str,
+              lat_col: str, lng_col: str, leaf_col: str | None) -> pa.Table:
+    """Partial top-k kernel for one batch — emits ≤ Q·k rows."""
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lng = batch[lng_col].to_numpy(zero_copy_only=False)
+    keys = batch[key_col].to_numpy(zero_copy_only=False)
+    if index.range_min is not None and leaf_col is not None:
+        leaf = batch[leaf_col].to_numpy(zero_copy_only=False)
+        mask = index.member_mask(leaf)
+        lat, lng, keys = lat[mask], lng[mask], keys[mask]
+    n = lat.shape[0]
+    q = index.qxyz
+    nq = q.shape[0]
+    if n == 0:
         return pa.table({
-            "query_id": pa.array(self.index.query_ids[qidx]),
-            self.key_col: pa.array(np.concatenate(out_key)),
-            "dist": pa.array(np.concatenate(out_d), type=pa.float64()),
+            "query_id": pa.array([], type=pa.int64()),
+            key_col: pa.array([], type=batch.schema.field(key_col).type),
+            "dist": pa.array([], type=pa.float64()),
         })
+    out_q, out_key, out_d = [], [], []
+    xyz = vk.latlng_to_xyz(lat, lng)
+    qcols = np.arange(nq)
+    for s in range(0, n, _CHUNK):
+        blk = xyz[s : s + _CHUNK]
+        # ‖p−q‖² computed as the exact componentwise expression so the
+        # SQL oracle reproduces the same doubles bit-wise.
+        dx = blk[:, 0][:, None] - q[:, 0][None, :]
+        dy = blk[:, 1][:, None] - q[:, 1][None, :]
+        dz = blk[:, 2][:, None] - q[:, 2][None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        kk = min(k, blk.shape[0])
+        part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # (kk, Q)
+        bk = keys[s : s + _CHUNK]
+        out_q.append(np.repeat(qcols, kk))
+        out_key.append(bk[part].T.reshape(-1))
+        out_d.append(d2[part, qcols[None, :]].T.reshape(-1))
+    qidx = np.concatenate(out_q)
+    return pa.table({
+        "query_id": pa.array(index.query_ids[qidx]),
+        key_col: pa.array(np.concatenate(out_key)),
+        "dist": pa.array(np.concatenate(out_d), type=pa.float64()),
+    })
 
 
-def _final_topk(k: int, key_col: str):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", key_col], kind="mergesort").head(k)
-        return g
+def make_knn_fn(index_ref, k: int, key_col: str, lat_col: str = "lat",
+                lng_col: str = "lng", leaf_col: str | None = None):
+    """Stateless partial-top-k stage; query index fetched once per worker
+    process via the broadcast cache (no actor-pool spawn cost)."""
+    from s2geometry_ray.stages.broadcast import get_broadcast
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return knn_batch(get_broadcast(index_ref), batch, k, key_col,
+                         lat_col, lng_col, leaf_col)
+
+    return fn
+
+
+def _merge_all_topk(k: int, key_col: str):
+    """Single bounded reduce over the partial top-k stream (≤ Q·k rows per
+    upstream block — tiny), replacing a full groupby shuffle whose fixed
+    overhead dwarfs the data at this size."""
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(["query_id", "dist", key_col], kind="mergesort")
+        return batch.groupby("query_id", as_index=False, sort=False).head(k)
 
     return merge
 
@@ -187,15 +187,13 @@ def knn(ds, query_ids, qlat, qlng, k: int, key_col: str,
     index = QueryIndex(query_ids, qlat, qlng, level=level, rings=rings)
     index_ref = ray.put(index)
     partials = ds.map_batches(
-        KnnActor,
-        fn_constructor_args=(index_ref, k, key_col, lat_col, lng_col,
-                             leaf_col if level is not None else None),
+        make_knn_fn(index_ref, k, key_col, lat_col, lng_col,
+                    leaf_col if level is not None else None),
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=4,
     )
-    result = partials.groupby("query_id").map_groups(
-        _final_topk(k, key_col), batch_format="pandas"
+    result = partials.repartition(1).map_batches(
+        _merge_all_topk(k, key_col), batch_format="pandas", batch_size=None
     )
     if level is not None:
         # completeness guard: any query whose kth distance exceeds its

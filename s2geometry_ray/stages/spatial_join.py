@@ -136,14 +136,52 @@ class CoveringIndex:
         return np.concatenate(out_p), np.concatenate(out_t)
 
 
+def join_batch(index: CoveringIndex, batch: pa.Table, keep_cols: list[str],
+               tile_ids_arr: np.ndarray, leaf_col="cell_id", lat_col="lat",
+               lng_col="lng", mode="join") -> pa.Table:
+    """One-batch join kernel shared by the stateless fn and the actor."""
+    leaf = batch[leaf_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lng = batch[lng_col].to_numpy(zero_copy_only=False)
+    p_idx, t_idx = index.match(leaf, lat, lng)
+    if mode == "anti":
+        mask = np.ones(len(batch), dtype=bool)
+        mask[p_idx] = False
+        return batch.select(keep_cols).filter(pa.array(mask))
+    cols = {}
+    for c in keep_cols:
+        cols[c] = batch[c].take(pa.array(p_idx, type=pa.int64()))
+    cols["tile_id"] = pa.array(tile_ids_arr[t_idx].tolist())
+    return pa.table(cols)
+
+
+def make_spatial_join_fn(index_ref, keep_cols: list[str], leaf_col="cell_id",
+                         lat_col="lat", lng_col="lng", mode="join"):
+    """Stateless join stage: ``ds.map_batches(make_spatial_join_fn(ref, ...),
+    batch_format="pyarrow")``.  The covering index is fetched once per
+    worker process via the broadcast cache — no actor pool to spawn or
+    size (see stages/broadcast.py for the measured rationale)."""
+    from s2geometry_ray.stages.broadcast import get_broadcast
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        index: CoveringIndex = get_broadcast(index_ref)
+        tile_ids_arr = np.asarray(index.tile_ids, dtype=object)
+        return join_batch(index, batch, keep_cols, tile_ids_arr,
+                          leaf_col, lat_col, lng_col, mode)
+
+    return join_fn
+
+
 class SpatialJoinActor:
-    """Actor-pool join stage: ``map_batches(SpatialJoinActor, fn_constructor_args=(ref,),
-    concurrency=N, batch_format="pyarrow")``.
+    """Actor-pool variant of the join stage (same kernel as
+    ``make_spatial_join_fn``): ``map_batches(SpatialJoinActor,
+    fn_constructor_args=(ref,), concurrency=N, batch_format="pyarrow")``.
 
     ``__init__`` pulls the broadcast CoveringIndex from the object store
     once per actor (SURVEY.md §7.1); ``__call__`` joins one batch.
     Emits one row per (point, tile) match: the configured key columns
-    plus ``tile_id``.
+    plus ``tile_id``.  Prefer the stateless fn for short jobs — actor
+    spawn costs dominate below ~minutes of work per stage.
     """
 
     def __init__(self, index_ref, keep_cols: list[str], leaf_col: str = "cell_id",
@@ -161,19 +199,8 @@ class SpatialJoinActor:
         self._tile_ids_arr = np.asarray(self.index.tile_ids, dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        leaf = batch[self.leaf_col].to_numpy(zero_copy_only=False)
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
-        p_idx, t_idx = self.index.match(leaf, lat, lng)
-        if self.mode == "anti":
-            mask = np.ones(len(batch), dtype=bool)
-            mask[p_idx] = False
-            return batch.select(self.keep_cols).filter(pa.array(mask))
-        cols = {}
-        for c in self.keep_cols:
-            cols[c] = batch[c].take(pa.array(p_idx, type=pa.int64()))
-        cols["tile_id"] = pa.array(self._tile_ids_arr[t_idx].tolist())
-        return pa.table(cols)
+        return join_batch(self.index, batch, self.keep_cols, self._tile_ids_arr,
+                          self.leaf_col, self.lat_col, self.lng_col, self.mode)
 
 
 def tiles_from_keys(keys: np.ndarray, prefix: str = "tile") -> list[tuple[str, RectRegion]]:

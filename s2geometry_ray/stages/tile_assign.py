@@ -27,6 +27,11 @@ def partial_group_agg(key_col: str, value_col: str | None = None):
 
     def _fn(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy(zero_copy_only=False)
+        if keys.dtype == np.uint64:
+            # bijective int64 bit-view: Ray's aggregate hashes int64 natively
+            # but falls into a slow (and overflowing) Python-int path on
+            # uint64 keys (SURVEY.md §7.3.2 pitfall).
+            keys = keys.view(np.int64)
         uniq, inv = np.unique(keys, return_inverse=True)
         n = np.bincount(inv, minlength=len(uniq))
         cols = {key_col: pa.array(uniq), "n": pa.array(n.astype(np.int64))}
@@ -43,18 +48,41 @@ def partial_group_agg(key_col: str, value_col: str | None = None):
     return _fn
 
 
-def grouped_stats(ds, key_col: str, value_col: str | None = None):
-    """count/sum/min/max per key with map-side pre-aggregation; the
-    shuffle moves only per-batch partials."""
-    from ray.data.aggregate import Max, Min, Sum
+def combine_partials(partials, key_cols, agg_how: dict[str, str],
+                     fan_in: int = 16):
+    """Tree-combine per-batch partial aggregates without Ray's groupby
+    machinery (which costs ~10 s of fixed actor/partition overhead per
+    call): combine within each block, coalesce ``fan_in`` blocks and
+    combine again, then a single bounded final reduce.
 
+    Scale contract: the FINAL reduce holds at most (distinct keys)
+    rows — valid only for bounded-cardinality keys (S2 prefix levels,
+    enum-ish dimensions; level-K prefixes have ≤ 6·4^K cells).  For
+    unbounded keys use ``ds.groupby(...).aggregate(...)`` instead."""
+    keys = key_cols if isinstance(key_cols, list) else [key_cols]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, as_index=False).agg(
+            **{c: (c, how) for c, how in agg_how.items()})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    out = out.repartition(fan_in).map_batches(combine, batch_format="pyarrow",
+                                              batch_size=None)
+    return out.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def grouped_stats(ds, key_col: str, value_col: str | None = None):
+    """count/sum/min/max per key with map-side pre-aggregation; only
+    per-batch partials move between stages (SURVEY.md §3.5)."""
     partial = ds.map_batches(partial_group_agg(key_col, value_col),
                              batch_format="pyarrow")
-    aggs = [Sum("n", alias_name="n")]
+    how = {"n": "sum"}
     if value_col is not None:
-        aggs += [Sum("s", alias_name="s"), Min("mn", alias_name="mn"),
-                 Max("mx", alias_name="mx")]
-    return partial.groupby(key_col).aggregate(*aggs)
+        how.update({"s": "sum", "mn": "min", "mx": "max"})
+    return combine_partials(partial, key_col, how)
 
 
 def _hash64(arr: np.ndarray) -> np.ndarray:
