@@ -27,19 +27,27 @@ from s2geometry_ray.functions.text import fingerprint_batch
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _shingle_hashes(text: str, width: int = 5) -> np.ndarray:
-    """Hashes of character shingles (word-agnostic, robust)."""
-    t = text.lower()
-    if len(t) < width:
-        t = t.ljust(width, "_")
-    views = [t[i : i + width] for i in range(len(t) - width + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
-         for v in views),
-        dtype=np.uint64,
-        count=len(views),
-    )
-    return np.unique(out)
+    """Hashes of character shingles, fully vectorized: the 5-byte window
+    is packed into a uint64 (exact shingle identity — no collisions)
+    then splitmix64-mixed to spread over the 64-bit space for the
+    affine min-hash permutations."""
+    b = np.frombuffer(text.lower().encode("utf-8", "surrogatepass"),
+                      dtype=np.uint8)
+    if b.size < width:
+        b = np.pad(b, (0, width - b.size), constant_values=ord("_"))
+    n = b.size - width + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(width):
+        h = (h << np.uint64(8)) | b[k : k + n].astype(np.uint64)
+    return np.unique(_splitmix64(h))
 
 
 class MinHasher:
@@ -112,20 +120,53 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, text_col="text",
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        keys = np.sort(g[key_col].to_numpy())
-        if len(keys) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        a, b = np.triu_indices(len(keys), k=1)
-        return pd.DataFrame({"key_a": keys[a], "key_b": keys[b]})
+    # Partition by band-hash prefix (few, large groups) and pair WITHIN a
+    # partition using vectorized run detection — one pandas/numpy call per
+    # partition instead of one map_groups call per bucket (640k buckets ⇒
+    # minutes of per-group overhead, measured).
+    num_parts = 32
+    max_bucket = 256  # degenerate buckets (constant bands) are truncated
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # distinct pairs (a pair can match in several bands)
-    return pairs.groupby(["key_a", "key_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    def add_part(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((bh % num_parts).astype(np.int64)))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", key_col], kind="mergesort")
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        keys = g[key_col].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(g))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            kk = keys[s : min(e, s + max_bucket)]
+            a, b = np.triu_indices(len(kk), k=1)
+            out_a.append(kk[a])
+            out_b.append(kk[b])
+        if not out_a:
+            return pd.DataFrame({"key_a": np.array([], dtype=keys.dtype),
+                                 "key_b": np.array([], dtype=keys.dtype)})
+        return pd.DataFrame({"key_a": np.concatenate(out_a),
+                             "key_b": np.concatenate(out_b)})
+
+    pairs = band_rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(partition_pairs, batch_format="pandas")
+
+    # distinct pairs (a pair can match in several bands): candidate pairs
+    # are bounded by LSH design (buckets are near-duplicate groups), so a
+    # per-block dedup + single bounded reduce beats a second full shuffle.
+    def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["key_a", "key_b"])
+
+    pairs = pairs.map_batches(dedup_block, batch_format="pandas", batch_size=None)
+    return pairs.repartition(1).map_batches(dedup_block, batch_format="pandas",
+                                            batch_size=None)
 
 
 def ngram_jaccard(texts_a: list[str], texts_b: list[str], width: int = 5) -> np.ndarray:

@@ -40,7 +40,7 @@ def _points_ds(sf_dir: str, key_col: str = "event_id",
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=[key_col, *extra_cols])
     return ds.map_batches(make_geotag_and_assign(key_col, levels=(JOIN_LEVEL,)),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
 
 
 def _nation_tiles(sf_dir: str):
@@ -64,6 +64,7 @@ def _join_ds(sf_dir: str, keep_cols: list[str], mode: str = "join"):
     return pts.map_batches(
         make_spatial_join_fn(index_ref, keep_cols, mode=mode),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -73,6 +74,7 @@ def spatial_join_rect(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["event_id", "tile_key"]),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -104,7 +106,7 @@ def tile_assign_counts(sf_dir: str):
 
     from s2geometry_ray.stages.tile_assign import combine_partials
 
-    partials = joined.map_batches(partial, batch_format="pyarrow")
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return combine_partials(partials, "tile_key",
                             {"n": "sum", "value_cents": "sum"})
 
@@ -151,6 +153,7 @@ def cell_assign_events(sf_dir: str):
     out = ds.map_batches(
         make_geotag_and_assign("event_id", levels=(8, 12), with_token=True),
         batch_format="pyarrow",
+        batch_size=None,
     )
     return out.select_columns(["event_id", "cell_id", "cell_l8", "cell_l12", "token"])
 

@@ -51,7 +51,7 @@ def q1_pricing_summary(sf_dir: str):
 
     from s2geometry_ray.stages.tile_assign import combine_partials
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return combine_partials(
         partials, ["l_returnflag", "l_linestatus"],
         {"n": "sum", "sum_qty": "sum", "sum_base_cents": "sum",
@@ -113,7 +113,8 @@ def customer_order_stats(sf_dir: str):
 
     from s2geometry_ray.stages.tile_assign import combine_partials
 
-    partials = ds.map_batches(JoinSegment, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(JoinSegment, batch_format="pyarrow", batch_size=None,
+                              concurrency=2)
     return combine_partials(partials, "c_mktsegment",
                             {"n_orders": "sum", "total_cents": "sum"})
 
@@ -147,7 +148,7 @@ def events_window_counts(sf_dir: str):
 
     from s2geometry_ray.stages.tile_assign import combine_partials
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return combine_partials(partials, ["event_type", "day_bucket"],
                             {"n": "sum", "value_cents": "sum"})
 

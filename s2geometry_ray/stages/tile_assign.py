@@ -48,17 +48,20 @@ def partial_group_agg(key_col: str, value_col: str | None = None):
     return _fn
 
 
-def combine_partials(partials, key_cols, agg_how: dict[str, str],
-                     fan_in: int = 16):
-    """Tree-combine per-batch partial aggregates without Ray's groupby
+def combine_partials(partials, key_cols, agg_how: dict[str, str]):
+    """Combine per-batch partial aggregates without Ray's groupby
     machinery (which costs ~10 s of fixed actor/partition overhead per
-    call): combine within each block, coalesce ``fan_in`` blocks and
-    combine again, then a single bounded final reduce.
+    call): combine within each block, MATERIALIZE the tiny partial set
+    (bounded by #blocks × #keys — this is the contract of map-side
+    pre-aggregation; materializing mid-pipeline is safe precisely
+    because it is small), then one bounded reduce.  The materialize also
+    prevents a measured Ray pitfall: a lazy AllToAll (repartition) on
+    the tail re-executes the whole upstream pipeline (~2× wall time).
 
-    Scale contract: the FINAL reduce holds at most (distinct keys)
-    rows — valid only for bounded-cardinality keys (S2 prefix levels,
-    enum-ish dimensions; level-K prefixes have ≤ 6·4^K cells).  For
-    unbounded keys use ``ds.groupby(...).aggregate(...)`` instead."""
+    Scale contract: the final reduce holds ≤ (#blocks × #distinct keys)
+    rows — for bounded-cardinality keys (S2 prefix levels have ≤ 6·4^K
+    cells; enum-ish dimensions).  For unbounded keys use
+    ``ds.groupby(...).aggregate(...)`` instead."""
     keys = key_cols if isinstance(key_cols, list) else [key_cols]
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -68,8 +71,7 @@ def combine_partials(partials, key_cols, agg_how: dict[str, str],
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
-    out = out.repartition(fan_in).map_batches(combine, batch_format="pyarrow",
-                                              batch_size=None)
+    out = out.materialize()  # tiny by contract (see docstring)
     return out.repartition(1).map_batches(combine, batch_format="pyarrow",
                                           batch_size=None)
 
@@ -78,7 +80,7 @@ def grouped_stats(ds, key_col: str, value_col: str | None = None):
     """count/sum/min/max per key with map-side pre-aggregation; only
     per-batch partials move between stages (SURVEY.md §3.5)."""
     partial = ds.map_batches(partial_group_agg(key_col, value_col),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow", batch_size=None)
     how = {"n": "sum"}
     if value_col is not None:
         how.update({"s": "sum", "mn": "min", "mx": "max"})

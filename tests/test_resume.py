@@ -1,0 +1,77 @@
+"""Resume/determinism tests (SURVEY.md §6.2.4/5): kill a partitioned job
+mid-run, rerun, assert byte-identical output and no recomputation of
+finished partitions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from s2geometry_ray.state.manifests import (
+    finished_partitions,
+    read_output,
+    spatial_join_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _output_bytes(out_dir: str) -> bytes:
+    t = read_output(out_dir)
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    pq.write_table(t, sink)
+    return sink.getvalue().to_pybytes()
+
+
+def test_crash_resume_identical(tmp_path):
+    full_dir = str(tmp_path / "full")
+    crash_dir = str(tmp_path / "crash")
+
+    # uninterrupted run
+    done = spatial_join_partitioned(SF, full_dir, num_buckets=6)
+    assert len(done) == 6
+
+    # crashed run: only 2 partitions finish
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        spatial_join_partitioned(SF, crash_dir, num_buckets=6, fail_after=2)
+    assert len(finished_partitions(crash_dir)) == 2
+
+    # resume: finishes the remaining 4 without touching the first 2
+    mtimes_before = {
+        n: os.path.getmtime(m["path"])
+        for n, m in finished_partitions(crash_dir).items()
+    }
+    done2 = spatial_join_partitioned(SF, crash_dir, num_buckets=6)
+    assert len(done2) == 6
+    for n, t0 in mtimes_before.items():
+        assert os.path.getmtime(done2[n]["path"]) == t0, f"{n} was recomputed"
+
+    # byte-identical final output
+    assert _output_bytes(crash_dir) == _output_bytes(full_dir)
+
+
+def test_manifest_fingerprints_match(tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    da = spatial_join_partitioned(SF, a, num_buckets=4)
+    db = spatial_join_partitioned(SF, b, num_buckets=4)
+    for name in da:
+        assert da[name]["fingerprint"] == db[name]["fingerprint"]
+        assert da[name]["row_count"] == db[name]["row_count"]
+
+
+def test_stale_tmp_dir_ignored(tmp_path):
+    out = str(tmp_path / "o")
+    os.makedirs(os.path.join(out, "part-b000.tmp"))  # crash debris
+    with open(os.path.join(out, "part-b000.tmp", "junk"), "w") as fh:
+        fh.write("partial write")
+    done = spatial_join_partitioned(SF, out, num_buckets=3)
+    assert len(done) == 3
+    assert not os.path.isdir(os.path.join(out, "part-b000.tmp"))
+    m = json.load(open(os.path.join(out, "_manifests", "b000.json")))
+    assert m["row_count"] == done["b000"]["row_count"]

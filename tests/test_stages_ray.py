@@ -1,0 +1,232 @@
+"""Ray-level stage tests: join/knn/dedup/decode/salting through real
+Dataset pipelines on the session-scoped Ray (SURVEY.md §6.2.3/4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from s2geometry_ray.kernels import cellid as vk
+from s2geometry_ray.oracle import s2 as o
+from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+
+@pytest.fixture(scope="module")
+def points_ds(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.stages.cell_assign import make_geotag_and_assign
+
+    keys = pa.table({"pt_key": pa.array(np.arange(20000, dtype=np.int64))})
+    ds = rd.from_arrow(keys)
+    return ds.map_batches(make_geotag_and_assign("pt_key", levels=(4, 8)),
+                          batch_format="pyarrow").materialize()
+
+
+def test_cell_assign_stage(points_ds):
+    df = points_ds.to_pandas()
+    assert len(df) == 20000
+    key = df["pt_key"].to_numpy()
+    assert np.array_equal(df["lat"].to_numpy(), derive_lat(key))
+    # cell ids match the scalar oracle
+    for i in range(0, 20000, 2500):
+        assert int(df["cell_id"][i]) == o.from_lat_lng(df["lat"][i], df["lng"][i])
+        assert int(df["cell_l8"][i]) == o.parent(int(df["cell_id"][i]), 8)
+
+
+def test_spatial_join_stage_vs_sql(points_ds, ray_session):
+    import duckdb
+
+    from s2geometry_ray.stages.spatial_join import (
+        CoveringIndex,
+        make_spatial_join_fn,
+        tiles_from_keys,
+    )
+
+    tiles = tiles_from_keys(np.arange(25))
+    index = CoveringIndex.build(tiles, max_cells=64, max_level=14)
+    ref = ray_session.put(index)
+    out = points_ds.map_batches(make_spatial_join_fn(ref, ["pt_key"]),
+                                batch_format="pyarrow").to_pandas()
+    got = {(int(r.pt_key), r.tile_id) for r in out.itertuples()}
+    k = np.arange(20000)
+    lat, lng = derive_lat(k), derive_lng(k)
+    want = set()
+    from s2geometry_ray.sources.geotag import tile_bounds
+
+    b = tile_bounds(np.arange(25))
+    for t in range(25):
+        inside = ((lat >= b["lat_lo"][t]) & (lat <= b["lat_hi"][t])
+                  & (lng >= b["lng_lo"][t]) & (lng <= b["lng_hi"][t]))
+        for i in np.nonzero(inside)[0]:
+            want.add((int(i), f"tile{t}"))
+    assert got == want
+    del duckdb
+
+
+def test_knn_stage_exact(points_ds):
+    from s2geometry_ray.stages.knn import knn
+
+    qk = np.arange(1, 31, dtype=np.int64) * 700
+    qlat, qlng = derive_lat(qk), derive_lng(qk)
+    for level in (None, 4):
+        res = knn(points_ds, qk, qlat, qlng, 5, "pt_key",
+                  leaf_col="cell_id", level=level).to_pandas()
+        # brute-force oracle
+        k = np.arange(20000)
+        plat, plng = derive_lat(k), derive_lng(k)
+        pxyz = vk.latlng_to_xyz(plat, plng)
+        qxyz = vk.latlng_to_xyz(qlat, qlng)
+        for qi, qid in enumerate(qk):
+            d2 = ((pxyz - qxyz[qi]) ** 2).sum(axis=1)
+            order = np.lexsort((k, d2))[:5]
+            want = set(k[order].tolist())
+            got = set(res[res["query_id"] == qid]["pt_key"].tolist())
+            assert got == want, (level, qid)
+
+
+def test_salted_groupby_equals_oracle(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.stages.tile_assign import (
+        grouped_stats,
+        salt_plan,
+        salted_map_groups,
+    )
+
+    # skew fixture: 30% of rows in ONE key (SURVEY.md §7.3.4)
+    rng = np.random.default_rng(4)
+    n = 50000
+    keys = rng.integers(0, 200, n, dtype=np.int64)
+    keys[: int(0.3 * n)] = 7
+    vals = rng.uniform(0, 10, n)
+    t = pa.table({"k": keys, "v": vals, "row": np.arange(n, dtype=np.int64)})
+    ds = rd.from_arrow(t).repartition(8).materialize()
+
+    # grouped_stats (algebraic path) vs pandas
+    got = grouped_stats(ds, "k", "v").to_pandas().sort_values("k").reset_index(drop=True)
+    want = (pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max"))
+            .sort_values("k").reset_index(drop=True))
+    assert np.array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    assert np.allclose(got["s"].to_numpy(), want["s"].to_numpy(), rtol=1e-12)
+    assert np.array_equal(got["mn"].to_numpy(), want["mn"].to_numpy())
+
+    # salting plan marks the hot key
+    plan = salt_plan(ds, "k", target_rows_per_group=2000, sample_fraction=0.2)
+    assert plan.get(7, 1) > 1
+
+    # salted map_groups == unsalted oracle for a non-algebraic agg (median-ish)
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)],
+                             "s": [g["v"].sum()]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # no salted sub-group may exceed ~2x the target (skew bounded)
+        assert (g["n"] <= 8000).all(), g["n"].max()
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "n": [g["n"].sum()],
+                             "s": [g["s"].sum()]})
+
+    out = salted_map_groups(ds, "k", "row", partial, merge,
+                            target_rows_per_group=2000,
+                            sample_fraction=0.2).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert np.array_equal(out["n"].to_numpy(), want["n"].to_numpy())
+    assert np.allclose(out["s"].to_numpy(), want["s"].to_numpy(), rtol=1e-9)
+
+
+def test_exact_dedup_with_real_duplicates(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import exact_dedup_groups
+
+    texts = [f"document body {i % 40}" for i in range(400)]  # 40 distinct, 10 copies
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                                 "text": pa.array(texts)}))
+    out = exact_dedup_groups(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 40
+    assert (out["n_copies"] == 10).all()
+    assert out["doc_id"].tolist() == list(range(40))  # min doc_id kept
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import minhash_candidate_pairs, ngram_jaccard
+
+    rng = np.random.default_rng(11)
+    base = ("the quick brown fox jumps over the lazy dog while the band plays "
+            "a long tune about distributed systems and spherical geometry")
+    docs, ids = [], []
+    for i in range(30):
+        docs.append(f"totally unrelated document number {i} " + "".join(
+            rng.choice(list("abcdefghij "), 80)))
+        ids.append(i)
+    docs.append(base)
+    ids.append(100)
+    docs.append(base.replace("lazy", "sleepy"))  # near-dup of 100
+    ids.append(101)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                                 "text": pa.array(docs)}))
+    pairs = minhash_candidate_pairs(ds, concurrency=2).to_pandas()
+    assert ((pairs["key_a"] == 100) & (pairs["key_b"] == 101)).any()
+    # verified jaccard confirms
+    sim = ngram_jaccard([base], [base.replace("lazy", "sleepy")])[0]
+    assert sim > 0.8
+    assert ngram_jaccard([docs[0]], [base])[0] < 0.3
+
+
+def test_simhash_hamming(ray_session):
+    from s2geometry_ray.functions.dedup import SimHasher, hamming64
+
+    sh = SimHasher()
+    a = sh.simhash("the quick brown fox jumps over the lazy dog again and again")
+    b = sh.simhash("the quick brown fox jumps over the sleepy dog again and again")
+    c = sh.simhash("completely different text about ray data pipelines and arrow")
+    ab = hamming64(np.array([a]), np.array([b]))[0]
+    ac = hamming64(np.array([a]), np.array([c]))[0]
+    assert ab < ac
+
+
+def test_decode_stage_e2e(ray_session):
+    from s2geometry_ray.sources.synth import gen_pixels, images_dataset
+    from s2geometry_ray.stages.decode import decode_stage
+
+    out = decode_stage(images_dataset(120), concurrency=2, with_boxes=True).to_pandas()
+    assert len(out) == 120
+    assert out["phash_ok"].all()  # bit-exact decode ⇒ phash reproduces
+    # captions pass through unchanged (caption equality clause)
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    row = gen_image_row(5)
+    got = out[out["image_id"] == row["image_id"]].iloc[0]
+    assert got["caption"] == row["caption"]
+    # feature values match a direct decode
+    px = gen_pixels(row["image_id"], row["w"], row["h"])
+    assert got["mean_r"] == px[:, :, 0].mean()
+
+
+def test_ann_brute_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.ann import brute_topk
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(500, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+        "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+    }))
+    q = emb[:3].astype(np.float64)
+    res = brute_topk(ds, q, k=7, concurrency=2).to_pandas()
+    x = emb.astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = xn @ qn.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(500), -sims[:, qi]))[:7]
+        want = set(order.tolist())
+        got = set(res[res["query_idx"] == qi]["vec_id"].tolist())
+        assert got == want
