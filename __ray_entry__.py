@@ -164,7 +164,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = cosine_neardup_pairs(_embeddings(sf), tau=0.9)
         return out.select_columns(["key_a", "key_b"])
 
+    from s2geometry_ray.pipelines import extras as X
+
     return {
+        "distinct_event_types": X.distinct_event_types,
+        "sessionize_events": X.sessionize_events,
+        "order_priority_revenue": X.order_priority_revenue,
+        "tile_assign_salted": X.tile_assign_salted,
+        "decode_images": X.decode_images,
+        "raster_boxes_images": X.raster_boxes_images,
+        "covering_mixed_tiles": X.covering_mixed_tiles,
+        "phash_band_buckets": X.phash_band_buckets,
         "q1_pricing_summary": q1,
         "top_orders": top_orders,
         "customer_order_stats": customer_order_stats,
@@ -193,7 +203,13 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_ray.pipelines import flagship as F
     from s2geometry_ray.pipelines import tpch as T
 
+    from s2geometry_ray.pipelines import extras as X
+
     return {
+        "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
+        "sessionize_events": X.SESSIONIZE_SQL,
+        "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,
+        "tile_assign_salted": F.tile_assign_counts_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -1,0 +1,227 @@
+"""Additional operator-coverage pipelines: distinct, sessionization
+(streaming-shaped), Ray-native hash join, salted tile assignment,
+decode / raster→vector / phash-banding over the synthetic images table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values via partial-unique + bounded combine (the
+    ds.unique() operator re-expressed without a full shuffle — event
+    types are a bounded enum)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        vals = np.unique(np.asarray(batch["event_type"]))
+        return pa.table({"event_type": pa.array(vals.tolist(), type=pa.string())})
+
+    partial = ds.map_batches(uniq, batch_format="pyarrow", batch_size=None).materialize()
+    return partial.repartition(1).map_batches(uniq, batch_format="pyarrow",
+                                              batch_size=None)
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows per user (streaming-shaped workload → sorted
+    per-group pandas, SURVEY.md §3.6 policy): a session breaks when the
+    gap to the previous event exceeds 30 min.  Output one row per
+    session.  Partitioning assumption: all rows of a user fit one group
+    (users are bounded); the shuffle key is user_id."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].to_numpy().astype("datetime64[us]").view(np.int64))
+        brk = np.ones(len(t), dtype=np.int64)
+        brk[1:] = (np.diff(t) > _SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk)
+        df = pd.DataFrame({"t": t, "sid": sid})
+        out = df.groupby("sid", as_index=False).agg(
+            session_start=("t", "min"), n_events=("t", "size"))
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+             CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                   OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(t) AS BIGINT) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def order_priority_revenue(sf_dir: str):
+    """Ray-native hash join (Dataset.join, explicit num_partitions) of
+    lineitem ⋈ orders, then a bounded grouped aggregate."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)) * 10000
+        ).astype(np.int64)
+        df = pd.DataFrame({"o_orderpriority": np.asarray(batch["o_orderpriority"]),
+                           "rev": rev})
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("rev", "size"), revenue_e4=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return combine_partials(partials, "o_orderpriority",
+                            {"n": "sum", "revenue_e4": "sum"})
+
+
+ORDER_PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def tile_assign_salted(sf_dir: str):
+    """Same result as tile_assign_counts but through the O7 salted
+    map_groups path (hot keys split by a sampled count sketch) —
+    exactness of the salted plan is gate-checked against the same SQL."""
+    from s2geometry_ray.pipelines.flagship import _join_ds
+    from s2geometry_ray.stages.tile_assign import salted_map_groups
+
+    joined = _join_ds(sf_dir, ["event_id", "value"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100
+                         ).astype(np.int64)
+        return pa.table({
+            "tile_key": batch["tile_id"],
+            "event_id": batch["event_id"],
+            "cents": pa.array(cents),
+        })
+
+    ds = joined.map_batches(add_cents, batch_format="pyarrow", batch_size=None)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tile_key": [g["tile_key"].iloc[0]],
+                             "n": [len(g)], "value_cents": [g["cents"].sum()]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tile_key": [g["tile_key"].iloc[0]],
+                             "n": [g["n"].sum()],
+                             "value_cents": [g["value_cents"].sum()]})
+
+    return salted_map_groups(ds, "tile_key", "event_id", partial, merge,
+                             target_rows_per_group=200, sample_fraction=0.5)
+
+
+def decode_images(_sf_dir: str, n: int = 400):
+    """Rows-only: synthetic images through the decode actor pool with
+    per-row phash verification (O11)."""
+    from s2geometry_ray.sources.synth import images_dataset
+    from s2geometry_ray.stages.decode import decode_stage
+
+    out = decode_stage(images_dataset(n), concurrency=2)
+    return out.select_columns(["image_id", "fmt", "w", "h", "phash", "phash_ok"])
+
+
+def raster_boxes_images(_sf_dir: str, n: int = 300):
+    """Rows-only: O12 raster→vector handoff — per-image bright-region
+    boxes exploded to one row per box."""
+    from s2geometry_ray.sources.synth import images_dataset
+    from s2geometry_ray.stages.decode import decode_stage
+
+    out = decode_stage(images_dataset(n), concurrency=2, with_boxes=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, y0, y1, x0, x1 = [], [], [], [], []
+        for iid, boxes in zip(batch["image_id"].to_pylist(),
+                              batch["boxes"].to_pylist()):
+            for b in boxes:
+                ids.append(iid)
+                y0.append(b["y0"])
+                y1.append(b["y1"])
+                x0.append(b["x0"])
+                x1.append(b["x1"])
+        return pa.table({"image_id": pa.array(ids, type=pa.string()),
+                         "y0": pa.array(y0, type=pa.int64()),
+                         "y1": pa.array(y1, type=pa.int64()),
+                         "x0": pa.array(x0, type=pa.int64()),
+                         "x1": pa.array(x1, type=pa.int64())})
+
+    return out.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
+def covering_mixed_tiles(_sf_dir: str):
+    """Rows-only: covering table over the FIXTURES tiles (rect + polygon
+    + cap, incl. dateline/pole/sliver/face-corner adversarial cases)."""
+    from s2geometry_ray.sources.tiles import gen_tiles
+    from s2geometry_ray.stages.spatial_join import CoveringIndex
+
+    _table, regions = gen_tiles(16)
+    index = CoveringIndex.build(regions, max_cells=32, max_level=14)
+    rows = len(index.tile_idx)
+    from s2geometry_ray.oracle import s2 as o
+
+    cells_flat = np.empty(rows, dtype=np.uint64)
+    for _lvl, cells, ridx in index.by_level:
+        cells_flat[ridx] = cells
+    return pa.table({
+        "tile_id": pa.array([index.tile_ids[i] for i in index.tile_idx],
+                            type=pa.string()),
+        "token": pa.array([o.token(int(c)) for c in cells_flat], type=pa.string()),
+        "level": pa.array([o.level(int(c)) for c in cells_flat], type=pa.int64()),
+        "interior": pa.array(index.interior),
+    })
+
+
+def phash_band_buckets(_sf_dir: str, n: int = 600):
+    """Rows-only: O10 near-dup banding over the images' perceptual
+    hashes — 4 bands of 16 bits, exploded and bucket-counted."""
+    from ray.data.aggregate import Count
+
+    from s2geometry_ray.sources.synth import images_dataset
+
+    ds = images_dataset(n, with_bytes=False)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["image_id"].to_pylist()
+        out_id, out_band, out_val = [], [], []
+        for b in range(4):
+            vals = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_id.extend(ids)
+            out_band.extend([b] * len(ids))
+            out_val.extend(vals.tolist())
+        return pa.table({"image_id": pa.array(out_id, type=pa.string()),
+                         "band_id": pa.array(out_band, type=pa.int64()),
+                         "band_val": pa.array(out_val, type=pa.int64())})
+
+    exploded = ds.map_batches(bands, batch_format="pyarrow", batch_size=None)
+    return exploded.groupby(["band_id", "band_val"]).aggregate(Count(alias_name="n"))
