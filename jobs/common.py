@@ -1,0 +1,40 @@
+"""Shared job scaffolding: Ray session guard + argparse defaults.
+
+Each job module is `ray job submit`-compatible: a plain script whose
+``main()`` owns the Ray session (guarded — inside a cluster submission
+Ray is already initialised and the guard is a no-op).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def ray_session(num_cpus: int | None = None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def finish(ray) -> None:
+    ray.shutdown()
+
+
+def repo_on_path() -> None:
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if here not in sys.path:
+        sys.path.insert(0, here)

