@@ -424,3 +424,61 @@ def level_for_min_width(value: float) -> int:
     if value <= 0:
         return MAX_LEVEL
     return max(0, min(MAX_LEVEL, int(math.floor(math.log2(MIN_WIDTH_DERIV / value)))))
+
+
+# ---------------------------------------------------------------------------
+# Areas (S19) and point-to-edge distance (S23)
+# ---------------------------------------------------------------------------
+
+
+def _turn_angle(a, b, c) -> float:
+    """Exterior angle at b of the spherical path a→b→c."""
+    ab = (a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2], a[0] * b[1] - a[1] * b[0])
+    bc = (b[1] * c[2] - b[2] * c[1], b[2] * c[0] - b[0] * c[2], b[0] * c[1] - b[1] * c[0])
+    ang = angle(ab, bc)
+    cross_dir = (
+        ab[1] * bc[2] - ab[2] * bc[1],
+        ab[2] * bc[0] - ab[0] * bc[2],
+        ab[0] * bc[1] - ab[1] * bc[0],
+    )
+    sign = 1.0 if (cross_dir[0] * b[0] + cross_dir[1] * b[1] + cross_dir[2] * b[2]) > 0 else -1.0
+    return sign * ang
+
+
+def loop_area(vertices) -> float:
+    """Signed spherical excess of a loop (Girard/Gauss-Bonnet): area of
+    the region on the LEFT of the CCW loop, in steradians."""
+    n = len(vertices)
+    turn = 0.0
+    for i in range(n):
+        turn += _turn_angle(vertices[i - 1], vertices[i], vertices[(i + 1) % n])
+    return 2.0 * math.pi - turn
+
+
+def cell_exact_area(cell_id: int) -> float:
+    """Exact area of a cell in steradians (sum of two triangle excesses)."""
+    v = cell_vertices(cell_id)
+    return loop_area([v[0], v[1], v[2]]) + loop_area([v[0], v[2], v[3]])
+
+
+def cell_average_area(level_: int) -> float:
+    """Average cell area at a level: 4π/6 / 4^level (exact by symmetry)."""
+    return (4.0 * math.pi / 6.0) / (4.0 ** level_)
+
+
+def point_to_arc_distance(p, a, b) -> float:
+    """Min angular distance from p to the great-circle arc a→b
+    (clamped projection; the family's S2EdgeUtil.getDistance)."""
+    n = (a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2], a[0] * b[1] - a[1] * b[0])
+    nn = math.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    if nn == 0.0:
+        return angle(p, a)
+    # is the perpendicular foot inside the arc?  (family's interior test:
+    # p must be on the "inside" of the planes through a and b ⊥ the arc)
+    na = (n[1] * a[2] - n[2] * a[1], n[2] * a[0] - n[0] * a[2], n[0] * a[1] - n[1] * a[0])
+    nb = (n[1] * b[2] - n[2] * b[1], n[2] * b[0] - n[0] * b[2], n[0] * b[1] - n[1] * b[0])
+    if (p[0] * na[0] + p[1] * na[1] + p[2] * na[2]) > 0 > (p[0] * nb[0] + p[1] * nb[1] + p[2] * nb[2]):
+        # distance to the great circle itself
+        sin_d = abs(p[0] * n[0] + p[1] * n[1] + p[2] * n[2]) / nn
+        return math.asin(max(-1.0, min(1.0, sin_d)))
+    return min(angle(p, a), angle(p, b))

@@ -242,3 +242,34 @@ def test_angle_distance():
     c = vk.latlng_to_xyz(np.array([1e-9]), np.array([0.0]))
     e = vk.latlng_to_xyz(np.array([0.0]), np.array([0.0]))
     assert 0 < vk.angle(c, e)[0] < 1e-10
+
+
+def test_cell_areas():
+    """S19: exact areas sum to the sphere at a fixed level; average-area
+    metric matches the mean; child areas sum to the parent."""
+    total = sum(o.cell_exact_area((f << 61) | (1 << 60)) for f in range(6))
+    assert abs(total - 4 * np.pi) < 1e-9
+    cid = o.parent(o.from_lat_lng(37.0, -122.0), 5)
+    kid_sum = sum(o.cell_exact_area(k) for k in o.children(cid))
+    assert abs(kid_sum - o.cell_exact_area(cid)) < 1e-12
+    # average-area metric: mean over all level-2 cells equals the formula
+    lvl1 = [c for f in range(6) for c in o.children((f << 61) | (1 << 60))]
+    lvl2 = [g for c in lvl1 for g in o.children(c)]
+    mean = sum(o.cell_exact_area(c) for c in lvl2) / len(lvl2)
+    assert abs(mean - o.cell_average_area(2)) / mean < 1e-12
+
+
+def test_point_to_arc_distance():
+    """S23: matches a dense sampled minimum over the arc."""
+    rng = np.random.default_rng(21)
+    for _ in range(20):
+        a = o.latlng_to_xyz(*rng.uniform(-60, 60, 2))
+        b = o.latlng_to_xyz(rng.uniform(-60, 60), rng.uniform(-60, 60))
+        p = o.latlng_to_xyz(rng.uniform(-80, 80), rng.uniform(-180, 180))
+        got = o.point_to_arc_distance(p, a, b)
+        ts = np.linspace(0, 1, 2001)
+        pts = np.asarray(a)[None, :] * (1 - ts)[:, None] + np.asarray(b)[None, :] * ts[:, None]
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        sampled = vk.angle(np.broadcast_to(np.asarray(p), pts.shape), pts).min()
+        assert got <= sampled + 1e-9
+        assert sampled - got < 1e-5  # dense sampling converges to the min
