@@ -2,15 +2,17 @@
 
     ray job submit -- python jobs/spatial_join.py \
         --points /tmp/images --tiles /tmp/tiles.parquet \
-        --out /tmp/join_rows [--resume]
+        --out /tmp/join_rows
 
 Points input: a table with either (lat, lng) columns or an ``image_id``
 whose geotag derives deterministically (synthetic images table).  Tiles
 input: the FIXTURES tiles schema (rect/polygon/cap).  The covering
 table is built once (parallelizable over tiles), broadcast via
 ``ray.put``, and the join streams with zero point-side shuffle.
-Output: partitioned parquet of (point key, tile_id) + per-partition
-manifests; ``--resume`` skips finished partitions.
+Output: partitioned parquet of (point key, tile_id).  For the
+checkpoint/resume variant (per-partition manifests, crash-safe,
+byte-identical resume) see state/manifests.spatial_join_partitioned —
+exercised by tests/test_resume.py.
 """
 
 from __future__ import annotations

@@ -169,3 +169,81 @@ def covering_table(
         "level": np.asarray([_s2.level(c) for c in cell_ids], dtype=np.int64),
         "interior": np.asarray(interiors, dtype=bool),
     }
+
+
+# ---------------------------------------------------------------------------
+# Cell-union set algebra (SURVEY.md §3.3 A2/A3) — sorted-interval merges
+# ---------------------------------------------------------------------------
+
+
+def _to_ranges(union: list[int]) -> list[tuple[int, int]]:
+    return [(_s2.range_min(c), _s2.range_max(c)) for c in union]
+
+
+def union_contains_id(union: list[int], cell_id: int) -> bool:
+    """R6 on a normalized union: binary search over disjoint ranges."""
+    import bisect
+
+    mins = [_s2.range_min(c) for c in union]
+    k = bisect.bisect_right(mins, cell_id) - 1
+    return k >= 0 and cell_id <= _s2.range_max(union[k])
+
+
+def union_union(a: list[int], b: list[int]) -> list[int]:
+    """Union of two cell unions (normalize of the concatenation)."""
+    return normalize_cell_union(list(a) + list(b))
+
+
+def union_intersection(a: list[int], b: list[int]) -> list[int]:
+    """Intersection: for each overlapping pair keep the deeper cell
+    (Hilbert ranges nest-or-disjoint, so overlap ⇒ containment)."""
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        amin, amax = _s2.range_min(a[i]), _s2.range_max(a[i])
+        bmin, bmax = _s2.range_min(b[j]), _s2.range_max(b[j])
+        if amax < bmin:
+            i += 1
+        elif bmax < amin:
+            j += 1
+        else:
+            out.append(a[i] if amin >= bmin else b[j])
+            if amax <= bmax:
+                i += 1
+            else:
+                j += 1
+    return normalize_cell_union(out)
+
+
+def union_difference(a: list[int], b: list[int]) -> list[int]:
+    """a \\ b by recursive subdivision of cells that partially overlap b."""
+    out: list[int] = []
+
+    def emit(cell: int) -> None:
+        cmin, cmax = _s2.range_min(cell), _s2.range_max(cell)
+        # fast reject / accept against b
+        overlapping = [c for c in b
+                       if _s2.range_min(c) <= cmax and _s2.range_max(c) >= cmin]
+        if not overlapping:
+            out.append(cell)
+            return
+        if any(_s2.range_min(c) <= cmin and cmax <= _s2.range_max(c)
+               for c in overlapping):
+            return  # fully covered by b
+        for ch in _s2.children(cell):
+            emit(ch)
+
+    for cell in a:
+        emit(cell)
+    return normalize_cell_union(out)
+
+
+def union_expand(union: list[int], level: int) -> list[int]:
+    """A3: buffer a union by adding all neighbors at ``level`` of each
+    cell (cells below ``level`` are first promoted to their parent)."""
+    grown = []
+    for c in union:
+        base = _s2.parent(c, level) if _s2.level(c) > level else c
+        grown.append(base)
+        grown.extend(_s2.all_neighbors(base, max(level, _s2.level(base))))
+    return normalize_cell_union(grown)

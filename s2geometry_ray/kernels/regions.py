@@ -296,3 +296,45 @@ class LoopRegion(Region):
             if cell_contains_point(cell_id, (float(v[0]), float(v[1]), float(v[2]))):
                 return False
         return True
+
+
+class PolygonRegion(Region):
+    """Multi-loop polygon with holes (R4 full semantics): loop 0 is the
+    shell, further loops are holes; containment = in shell AND in no
+    hole (the family's depth-parity XOR restricted to one nesting
+    level, which is what the tiles schema stores — SURVEY.md §2.2).
+
+    Cell predicates are conservative the safe way round: may_intersect
+    follows the shell (superset of the region), contains requires the
+    shell to contain the cell AND every hole to be provably disjoint
+    from it.
+    """
+
+    def __init__(self, shell: LoopRegion, holes: list[LoopRegion]):
+        self.shell = shell
+        self.holes = holes
+
+    @staticmethod
+    def from_latlng_degrees(loops) -> "PolygonRegion":
+        regions = [LoopRegion.from_latlng_degrees(lp) for lp in loops]
+        return PolygonRegion(regions[0], regions[1:])
+
+    def contains_points(self, xyz: np.ndarray) -> np.ndarray:
+        inside = self.shell.contains_points(xyz)
+        for hole in self.holes:
+            inside &= ~hole.contains_points(xyz)
+        return inside
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        if not self.shell.may_intersect_cell(cell_id):
+            return False
+        # if some hole fully contains the cell, the region misses it
+        for hole in self.holes:
+            if hole.contains_cell(cell_id):
+                return False
+        return True
+
+    def contains_cell(self, cell_id: int) -> bool:
+        if not self.shell.contains_cell(cell_id):
+            return False
+        return all(not hole.may_intersect_cell(cell_id) for hole in self.holes)

@@ -28,7 +28,7 @@ from s2geometry_ray.sources.geotag import (
 from s2geometry_ray.stages.cell_assign import make_geotag_and_assign
 from s2geometry_ray.stages.spatial_join import (
     CoveringIndex,
-    SpatialJoinActor,
+    make_spatial_join_fn,
     tiles_from_keys,
 )
 
@@ -59,8 +59,6 @@ def _join_ds(sf_dir: str, keep_cols: list[str], mode: str = "join"):
     index_ref = ray.put(index)
     pts = _points_ds(sf_dir, extra_cols=tuple(c for c in keep_cols
                                               if c not in ("event_id",)))
-    from s2geometry_ray.stages.spatial_join import make_spatial_join_fn
-
     return pts.map_batches(
         make_spatial_join_fn(index_ref, keep_cols, mode=mode),
         batch_format="pyarrow",

@@ -167,3 +167,68 @@ def test_covering_table_columns():
             reg = regions[tbl["tile_id"][k]]
             ctr = np.asarray([o.to_point(int(tbl["cell_id"][k]))])
             assert reg.contains_points(ctr)[0]
+
+
+def test_polygon_with_holes(rng):
+    from s2geometry_ray.kernels.regions import PolygonRegion
+
+    shell = [(30.0, 30.0), (30.0, 40.0), (40.0, 40.0), (40.0, 30.0)]  # CCW
+    # the hole loop is passed CCW too (its INTERIOR is subtracted)
+    hole = [(33.0, 33.0), (36.0, 33.0), (36.0, 36.0), (33.0, 36.0)][::-1]
+    poly = PolygonRegion.from_latlng_degrees([shell, hole])
+    pts = {
+        "in_shell": (38.0, 38.0),
+        "in_hole": (34.5, 34.5),
+        "outside": (10.0, 10.0),
+        "between": (31.0, 34.0),
+    }
+    import numpy as np
+
+    from s2geometry_ray.kernels import cellid as vk
+
+    xyz = vk.latlng_to_xyz(np.array([p[0] for p in pts.values()]),
+                           np.array([p[1] for p in pts.values()]))
+    got = poly.contains_points(xyz)
+    assert got.tolist() == [True, False, False, True]
+    # covering still covers the region; interior flags avoid the hole
+    cov = get_covering(poly, max_cells=32, max_level=12)
+    sample = sample_sphere(rng, 20000)
+    inside = poly.contains_points(sample)
+    assert _point_in_union(cov, sample[inside]).all()
+    for c in get_interior_covering(poly, max_cells=16, max_level=12):
+        probe = np.asarray(o.cell_vertices(c) + [o.to_point(c)])
+        assert poly.contains_points(probe).all()
+
+
+def test_cellunion_set_algebra():
+    from s2geometry_ray.kernels.covering import (
+        union_contains_id,
+        union_difference,
+        union_expand,
+        union_intersection,
+        union_union,
+    )
+
+    a_cell = o.parent(o.from_lat_lng(10.0, 10.0), 6)
+    b_cell = o.parent(o.from_lat_lng(10.0, 10.0), 8)  # nested inside a
+    c_cell = o.parent(o.from_lat_lng(-40.0, 100.0), 6)
+    A = normalize_cell_union([a_cell])
+    B = normalize_cell_union([b_cell, c_cell])
+    U = union_union(A, B)
+    assert union_contains_id(U, b_cell) and union_contains_id(U, c_cell)
+    assert U == normalize_cell_union([a_cell, c_cell])
+    I = union_intersection(A, B)
+    assert I == [b_cell]
+    D = union_difference(A, B)
+    # difference covers A minus b_cell: contains a's other descendants
+    assert not union_contains_id(D, b_cell)
+    sibling = o.children(o.parent(b_cell, 7))[0]
+    if sibling == b_cell:
+        sibling = o.children(o.parent(b_cell, 7))[1]
+    assert union_contains_id(D, sibling)
+    # union of D and [b_cell] reconstitutes A exactly
+    assert union_union(D, [b_cell]) == A
+    # expand grows the union
+    E = union_expand([a_cell], 6)
+    assert union_contains_id(E, a_cell)
+    assert len(E) > 1
