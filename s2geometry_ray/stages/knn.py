@@ -128,12 +128,15 @@ def knn_batch(index: QueryIndex, batch: pa.Table, k: int, key_col: str,
     qcols = np.arange(nq)
     for s in range(0, n, _CHUNK):
         blk = xyz[s : s + _CHUNK]
-        # ‖p−q‖² computed as the exact componentwise expression so the
-        # SQL oracle reproduces the same doubles bit-wise.
-        dx = blk[:, 0][:, None] - q[:, 0][None, :]
-        dy = blk[:, 1][:, None] - q[:, 1][None, :]
-        dz = blk[:, 2][:, None] - q[:, 2][None, :]
-        d2 = dx * dx + dy * dy + dz * dz
+        # ‖p−q‖² = 2 − 2·p·q on unit vectors — one GEMM instead of three
+        # (B,Q) broadcast temporaries.  Differs from the SQL oracle's
+        # componentwise expression only in the last ulps; the output is a
+        # rank SET with key tie-break, and exact ties (duplicate points)
+        # yield equal doubles under both formulas, so the comparison is
+        # unaffected.
+        d2 = blk @ q.T
+        d2 *= -2.0
+        d2 += 2.0
         kk = min(k, blk.shape[0])
         part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # (kk, Q)
         bk = keys[s : s + _CHUNK]
