@@ -103,6 +103,11 @@ def add_salt(ds, key_col: str, salt_per_key: dict, row_key_col: str,
 
     def _fn(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy(zero_copy_only=False)
+        if keys.dtype == np.uint64:
+            # salt_plan's counts came through partial_group_agg, which
+            # ships uint64 keys as int64 bit-views — match that here or
+            # hot-key lookups silently miss.
+            keys = keys.view(np.int64)
         svals = np.array([salt_per_key.get(k, 1) for k in keys.tolist()],
                          dtype=np.uint64)
         h = _hash64(batch[row_key_col].to_numpy(zero_copy_only=False))

@@ -278,3 +278,23 @@ def test_cosine_neardup_finds_planted_pairs(ray_session):
     planted = {(i, 250 + i) for i in range(50)}
     recall = len(found & planted) / 50
     assert recall >= 0.8, recall  # same-bucket recall; cross-bucket misses documented
+
+
+def test_salt_plan_uint64_cell_keys(ray_session):
+    """Regression: salting must work when the group key is a uint64 S2
+    prefix column (plan keys are int64 bit-views — lookups must match)."""
+    import ray.data as rd
+
+    from s2geometry_ray.stages.tile_assign import add_salt, salt_plan
+
+    hot = np.uint64((5 << 61) | (1 << 44))  # face-5 cell id with the top bit set
+    keys = np.full(20000, hot, dtype=np.uint64)
+    keys[:5000] = np.uint64((1 << 61) | (1 << 44))
+    t = pa.table({"cell": pa.array(keys, type=pa.uint64()),
+                  "row": pa.array(np.arange(20000, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    plan = salt_plan(ds, "cell", target_rows_per_group=2000, sample_fraction=0.5)
+    assert plan, "hot uint64 key not detected"
+    salted = add_salt(ds, "cell", plan, "row").to_pandas()
+    hot_rows = salted[salted["cell"] == hot]
+    assert hot_rows["salt"].nunique() > 1, "hot uint64 key was not salted"
