@@ -75,3 +75,26 @@ def test_stale_tmp_dir_ignored(tmp_path):
     assert not os.path.isdir(os.path.join(out, "part-b000.tmp"))
     m = json.load(open(os.path.join(out, "_manifests", "b000.json")))
     assert m["row_count"] == done["b000"]["row_count"]
+
+
+def test_partitioned_cell_output(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from s2geometry_ray.sources.io import write_partitioned_by_cell
+    from s2geometry_ray.stages.cell_assign import make_geotag_and_assign
+
+    ds = rd.from_arrow(pa.table({"pt_key": pa.array(np.arange(5000, dtype=np.int64))}))
+    pts = ds.map_batches(make_geotag_and_assign("pt_key", levels=()),
+                         batch_format="pyarrow")
+    out = str(tmp_path / "parts")
+    write_partitioned_by_cell(pts, out, level=2, buckets=8)
+    import glob
+
+    dirs = sorted(glob.glob(f"{out}/cell_part=*"))
+    assert 1 < len(dirs) <= 8
+    back = pq.read_table(out)
+    assert back.num_rows == 5000
+    assert set(back["pt_key"].to_pylist()) == set(range(5000))
