@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_boxes_images": X.raster_boxes_images,
         "covering_mixed_tiles": X.covering_mixed_tiles,
         "phash_band_buckets": X.phash_band_buckets,
+        "route_proximity_events": X.route_proximity_events,
         "q1_pricing_summary": q1,
         "top_orders": top_orders,
         "customer_order_stats": customer_order_stats,

@@ -338,3 +338,71 @@ class PolygonRegion(Region):
         if not self.shell.contains_cell(cell_id):
             return False
         return all(not hole.may_intersect_cell(cell_id) for hole in self.holes)
+
+
+class PolylineRegion(Region):
+    """Buffered polyline: all points within ``radius_rad`` of an open
+    chain of great-circle arcs (the reference's S2Polyline + distance
+    semantics — SURVEY.md §3.1 S23 — lifted to a coverable region, which
+    is what a route-proximity join needs).
+
+    Point distance is the vectorized clamped-projection arc distance;
+    cell predicates are conservative via the cell circumradius:
+    may_intersect ⇐ dist(center) ≤ r + circum (never false-negative),
+    contains ⇐ dist(center) + circum ≤ r (never false-positive).
+    """
+
+    def __init__(self, vertices_xyz: np.ndarray, radius_rad: float):
+        v = np.asarray(vertices_xyz, dtype=np.float64)
+        self.vertices = v / np.linalg.norm(v, axis=1, keepdims=True)
+        self.radius = float(radius_rad)
+        self._arc_a = self.vertices[:-1]
+        self._arc_b = self.vertices[1:]
+        n = np.cross(self._arc_a, self._arc_b)
+        self._arc_n = n
+        self._arc_nn = np.linalg.norm(n, axis=1)
+        # planes through each endpoint ⊥ the arc (interior test)
+        self._na = np.cross(n, self._arc_a)
+        self._nb = np.cross(n, self._arc_b)
+
+    @staticmethod
+    def from_latlng_degrees(latlngs, radius_rad: float) -> "PolylineRegion":
+        pts = [_s2.latlng_to_xyz(la, ln) for (la, ln) in latlngs]
+        return PolylineRegion(np.asarray(pts), radius_rad)
+
+    def distance(self, xyz: np.ndarray) -> np.ndarray:
+        """(N,3) → (N,) min angular distance to the polyline, radians."""
+        p = np.asarray(xyz, dtype=np.float64)
+        best = np.full(p.shape[0], np.inf)
+        for k in range(self._arc_a.shape[0]):
+            inside = (p @ self._na[k] > 0) & (p @ self._nb[k] < 0)
+            d_ends = np.minimum(
+                np.arccos(np.clip(p @ self._arc_a[k], -1, 1)),
+                np.arccos(np.clip(p @ self._arc_b[k], -1, 1)),
+            )
+            if self._arc_nn[k] > 0:
+                sin_d = np.abs(p @ self._arc_n[k]) / self._arc_nn[k]
+                d_gc = np.arcsin(np.clip(sin_d, -1, 1))
+                d = np.where(inside, d_gc, d_ends)
+            else:
+                d = d_ends
+            best = np.minimum(best, d)
+        return best
+
+    def contains_points(self, xyz: np.ndarray) -> np.ndarray:
+        return self.distance(xyz) <= self.radius
+
+    def _center_circum(self, cell_id: int):
+        ctr = np.asarray([_s2.to_point(cell_id)])
+        verts = np.asarray(_s2.cell_vertices(cell_id))
+        circum = float(
+            np.arccos(np.clip(verts @ ctr[0], -1, 1)).max())
+        return ctr, circum
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        ctr, circum = self._center_circum(cell_id)
+        return bool(self.distance(ctr)[0] <= self.radius + circum)
+
+    def contains_cell(self, cell_id: int) -> bool:
+        ctr, circum = self._center_circum(cell_id)
+        return bool(self.distance(ctr)[0] + circum <= self.radius)

@@ -225,3 +225,24 @@ def phash_band_buckets(_sf_dir: str, n: int = 600):
 
     exploded = ds.map_batches(bands, batch_format="pyarrow", batch_size=None)
     return exploded.groupby(["band_id", "band_val"]).aggregate(Count(alias_name="n"))
+
+
+def route_proximity_events(sf_dir: str, radius_rad: float = 0.02):
+    """Rows-only: events within ~128 km of a fixed route (buffered
+    polyline region through the standard covering+join machinery —
+    S2Polyline semantics as a join operator)."""
+    import ray
+
+    from s2geometry_ray.kernels.regions import PolylineRegion
+    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.stages.spatial_join import CoveringIndex, make_spatial_join_fn
+
+    route = [(34.05, -118.24), (36.17, -115.14), (39.53, -119.81),
+             (40.76, -111.89), (39.74, -104.99)]
+    region = PolylineRegion.from_latlng_degrees(route, radius_rad)
+    index = CoveringIndex.build([("route0", region)], max_cells=64, max_level=12)
+    ref = ray.put(index)
+    pts = _points_ds(sf_dir)
+    out = pts.map_batches(make_spatial_join_fn(ref, ["event_id"]),
+                          batch_format="pyarrow", batch_size=None)
+    return out.select_columns(["event_id", "tile_id"])

@@ -232,3 +232,35 @@ def test_cellunion_set_algebra():
     E = union_expand([a_cell], 6)
     assert union_contains_id(E, a_cell)
     assert len(E) > 1
+
+
+def test_polyline_region(rng):
+    from s2geometry_ray.kernels.regions import PolylineRegion
+
+    route = [(40.0, -74.0), (41.0, -73.0), (41.5, -71.0), (42.3, -71.1)]
+    r = 0.01  # ~64 km
+    region = PolylineRegion.from_latlng_degrees(route, r)
+    # distance agrees with the scalar oracle arc distance
+    pts = sample_sphere(rng, 2000)
+    verts = [o.latlng_to_xyz(a, b) for a, b in route]
+    want = np.array([
+        min(o.point_to_arc_distance(tuple(p), verts[k], verts[k + 1])
+            for k in range(len(verts) - 1))
+        for p in pts
+    ])
+    got = region.distance(pts)
+    assert np.allclose(got, want, atol=1e-12)
+    # covering covers the buffered region
+    cov = get_covering(region, max_cells=64, max_level=14)
+    near = []
+    for a, b in route:
+        for _ in range(300):
+            near.append(o.latlng_to_xyz(a + rng.uniform(-1, 1), b + rng.uniform(-1, 1)))
+    near = np.asarray(near)
+    inside = region.contains_points(near)
+    assert inside.any()
+    assert _point_in_union(cov, near[inside]).all()
+    # interior cells lie fully inside the buffer
+    for c in get_interior_covering(region, max_cells=16, max_level=14):
+        probe = np.asarray(o.cell_vertices(c) + [o.to_point(c)])
+        assert region.contains_points(probe).all()
