@@ -274,6 +274,8 @@ def bench_flagship_images(sf_dir: str, scale: int = 1) -> dict:
 
 
 BENCHES = {
+    "flagship_join": bench_flagship,
+    "flagship_images": bench_flagship_images,
     "spatial_join": bench_spatial_join,
     "tile_assign": bench_tile_assign,
     "knn": bench_knn,

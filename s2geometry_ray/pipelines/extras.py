@@ -39,18 +39,32 @@ def sessionize_events(sf_dir: str):
     (users are bounded); the shuffle key is user_id."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g["ts"].to_numpy().astype("datetime64[us]").view(np.int64))
+    # Partition by user-hash (few, large groups — one vectorized call per
+    # partition, not one map_groups call per user), then detect session
+    # breaks over the (user, ts)-sorted partition in one pass.
+    num_parts = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((uid % num_parts).astype(np.int64)))
+
+    def partition_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((t, uid))
+        uid, t = uid[order], t[order]
         brk = np.ones(len(t), dtype=np.int64)
-        brk[1:] = (np.diff(t) > _SESSION_GAP_US).astype(np.int64)
+        brk[1:] = ((uid[1:] != uid[:-1])
+                   | (t[1:] - t[:-1] > _SESSION_GAP_US)).astype(np.int64)
         sid = np.cumsum(brk)
-        df = pd.DataFrame({"t": t, "sid": sid})
+        df = pd.DataFrame({"user_id": uid, "t": t, "sid": sid})
         out = df.groupby("sid", as_index=False).agg(
-            session_start=("t", "min"), n_events=("t", "size"))
-        out["user_id"] = g["user_id"].iloc[0]
+            user_id=("user_id", "first"), session_start=("t", "min"),
+            n_events=("t", "size"))
         return out[["user_id", "session_start", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.map_batches(add_part, batch_format="pyarrow", batch_size=None) \
+        .groupby("part").map_groups(partition_sessions, batch_format="pandas")
 
 
 SESSIONIZE_SQL = f"""

@@ -74,6 +74,11 @@ class QueryIndex:
     pruned plan) the normalized union of candidate cell ranges plus the
     per-query completeness bound (as squared chord)."""
 
+    # Safe upper bound on cell circumradius at level L: 0.5·deriv·2^-L.
+    # (quadratic-projection max diagonal deriv ≈ 2.44; 2.6 adds margin —
+    # verified against exact circumradii in tests/test_stages_ray.py)
+    _CIRCUM_DERIV = 2.6
+
     def __init__(self, query_ids, qlat, qlng, level=None, rings=2):
         self.query_ids = np.asarray(query_ids)
         self.qxyz = vk.latlng_to_xyz(np.asarray(qlat, float), np.asarray(qlng, float))
@@ -82,17 +87,62 @@ class QueryIndex:
         self.range_min = None
         self.range_max = None
         if level is not None:
-            all_cells: list[int] = []
-            bounds = np.empty(len(self.query_ids))
-            for i in range(len(self.query_ids)):
-                cells, b = candidate_cells_for_query(self.qxyz[i], level, rings)
-                all_cells.extend(cells)
-                bounds[i] = b
+            all_cells, bounds = self._expand_all(level, rings)
             union = normalize_cell_union(all_cells)
             self.range_min = np.array([_s2.range_min(c) for c in union], dtype=np.uint64)
             self.range_max = np.array([_s2.range_max(c) for c in union], dtype=np.uint64)
             # angle → squared chord: ‖p−q‖² = 4·sin²(θ/2)
             self.bounds_chord2 = (2.0 * np.sin(np.minimum(bounds, np.pi) / 2.0)) ** 2
+
+    def _expand_all(self, level: int, rings: int):
+        """Ring expansion for every query: vectorized ij-grid fast path for
+        queries whose (2r+3)² grid stays inside one cube face (exact
+        there); scalar neighbor-walk fallback near face edges, where the
+        family's fromFaceIJWrap only supports one-cell excursions."""
+        q = len(self.query_ids)
+        seeds = vk.parent(vk.from_xyz(self.qxyz), level)
+        face, i, j, _ = vk.to_face_ij_orientation(seeds)
+        size = 1 << (30 - level)
+        i0 = i & -size
+        j0 = j & -size
+        max_size = 1 << 30
+        pad = (rings + 1) * size
+        interior = ((i0 - pad >= 0) & (i0 + pad + size <= max_size)
+                    & (j0 - pad >= 0) & (j0 + pad + size <= max_size))
+        bounds = np.empty(q)
+        all_cells: list[int] = []
+        idx_in = np.nonzero(interior)[0]
+        if idx_in.size:
+            r = rings
+            offs = np.arange(-r, r + 1) * size
+            di, dj = np.meshgrid(offs, offs, indexing="ij")
+            di, dj = di.ravel(), dj.ravel()
+            m = di.size
+            fq = np.repeat(face[idx_in], m)
+            iq = (i0[idx_in][:, None] + di[None, :]).ravel()
+            jq = (j0[idx_in][:, None] + dj[None, :]).ravel()
+            cells = vk.parent(vk.from_face_ij(fq, iq, jq), level)
+            all_cells.extend(cells.tolist())
+            # outer ring (chebyshev == r+1): centers give the bound
+            ooffs = np.arange(-(r + 1), r + 2) * size
+            odi, odj = np.meshgrid(ooffs, ooffs, indexing="ij")
+            ring_mask = np.maximum(np.abs(odi), np.abs(odj)) == (r + 1) * size
+            odi, odj = odi[ring_mask], odj[ring_mask]
+            mo = odi.size
+            fo = np.repeat(face[idx_in], mo)
+            io = (i0[idx_in][:, None] + odi[None, :]).ravel()
+            jo = (j0[idx_in][:, None] + odj[None, :]).ravel()
+            outer = vk.parent(vk.from_face_ij(fo, io, jo), level)
+            centers = vk.to_center_xyz(outer)
+            qrep = np.repeat(self.qxyz[idx_in], mo, axis=0)
+            ang = vk.angle(qrep, centers).reshape(idx_in.size, mo)
+            circum = 0.5 * self._CIRCUM_DERIV * (2.0 ** (-level))
+            bounds[idx_in] = np.maximum(0.0, ang.min(axis=1) - circum)
+        for k in np.nonzero(~interior)[0]:
+            cells, b = candidate_cells_for_query(self.qxyz[k], level, rings)
+            all_cells.extend(cells)
+            bounds[k] = b
+        return all_cells, bounds
 
     def member_mask(self, leaf: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.range_min, leaf, side="right") - 1

@@ -298,3 +298,17 @@ def test_salt_plan_uint64_cell_keys(ray_session):
     salted = add_salt(ds, "cell", plan, "row").to_pandas()
     hot_rows = salted[salted["cell"] == hot]
     assert hot_rows["salt"].nunique() > 1, "hot uint64 key was not salted"
+
+
+def test_circumradius_bound_safe():
+    """The analytic circumradius bound used by the vectorized kNN ring
+    expansion must dominate the exact circumradius at every level."""
+    from s2geometry_ray.stages.knn import QueryIndex, _cell_circumradius
+
+    rng2 = np.random.default_rng(31)
+    for level in (2, 4, 6, 8, 10, 14):
+        ids = vk.parent(vk.from_latlng(rng2.uniform(-89, 89, 40),
+                                       rng2.uniform(-180, 180, 40)), level)
+        bound = 0.5 * QueryIndex._CIRCUM_DERIV * (2.0 ** (-level))
+        for c in ids:
+            assert _cell_circumradius(int(c)) <= bound, (level, hex(int(c)))
