@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def spatial_join_rect(sf):
         return F.spatial_join_rect(sf)
 
+    def spatial_join_rect_hash(sf):
+        return F.spatial_join_rect_hash(sf)
+
     def tile_assign_counts(sf):
         return F.tile_assign_counts(sf)
 
@@ -181,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": customer_order_stats,
         "events_window_counts": events_window_counts,
         "spatial_join_rect": spatial_join_rect,
+        "spatial_join_rect_hash": spatial_join_rect_hash,
         "tile_assign_counts": tile_assign_counts,
         "points_not_in_any_tile": points_not_in_any_tile,
         "knn_events": knn_events,
@@ -216,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,
         "events_window_counts": T.EVENTS_WINDOW_SQL,
         "spatial_join_rect": F.spatial_join_sql(),
+        "spatial_join_rect_hash": F.spatial_join_sql(),
         "tile_assign_counts": F.tile_assign_counts_sql(),
         "points_not_in_any_tile": F.points_not_in_any_tile_sql(),
         "knn_events": F.knn_events_sql(10),

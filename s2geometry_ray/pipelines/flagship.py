@@ -224,3 +224,17 @@ def flagship(sf_dir: str):
     """entry() pipeline: geotag → cell assign → S2 spatial join → per-tile
     stats.  Returns a small aggregated Dataset."""
     return tile_assign_counts(sf_dir)
+
+
+def spatial_join_rect_hash(sf_dir: str):
+    """Same join as spatial_join_rect through the SHUFFLE plan
+    (Ray-native hash join on the level-8 Hilbert prefix, rect geometry
+    inlined in the covering rows — the no-broadcast fallback for
+    unbounded tile counts).  Gate-checked against the same SQL."""
+    from s2geometry_ray.stages.spatial_join import spatial_join_hash_plan
+
+    tiles = _nation_tiles(sf_dir)
+    pts = _points_ds(sf_dir)
+    out = spatial_join_hash_plan(pts, tiles, join_level=JOIN_LEVEL,
+                                 num_partitions=8, keep_cols=("event_id",))
+    return out

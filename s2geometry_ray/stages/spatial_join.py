@@ -221,3 +221,96 @@ def tiles_from_keys(keys: np.ndarray, prefix: str = "tile") -> list[tuple[str, R
             )
         )
     return out
+
+
+def covering_rows_at_level(tiles: list[tuple], join_level: int,
+                           max_cells: int = 64) -> "pa.Table":
+    """Explode tile coverings to level-``join_level`` prefix keys for the
+    hash-join plan: one row per (tile, level-K cell) with the tile's
+    rect bounds INLINE, so the join needs no broadcast geometry at all.
+    Coarser covering cells expand to their level-K descendants (coverer
+    min_level bounds the blowup).  Rect tiles only — the no-broadcast
+    plan needs columnar geometry; polygon/cap tiles use the broadcast
+    plan (or a secondary geometry join)."""
+    import pyarrow as pa
+
+    keys: list[int] = []
+    tkeys: list[int] = []
+    interior: list[bool] = []
+    bounds_cols: dict[str, list[float]] = {k: [] for k in
+                                           ("lat_lo", "lat_hi", "lng_lo", "lng_hi")}
+    for tid, region in tiles:
+        if not isinstance(region, RectRegion) or region.deg_bounds is None:
+            raise ValueError("hash-join plan requires degree-rect tiles")
+        cov = get_covering(region, max_cells=max_cells,
+                           min_level=max(0, join_level - 3), max_level=14)
+        kkeys: set[int] = set()
+        for c in cov:
+            lvl = _s2.level(c)
+            if lvl >= join_level:
+                # several deep boundary cells can share one K-parent —
+                # dedup via the set; interior is a property of the K-cell
+                # itself, never inherited from a deeper cell
+                kkeys.add(_s2.parent(c, join_level))
+            else:
+                begin = _s2.child_begin(c, join_level)
+                end = _s2.child_end(c, join_level)
+                step = 2 * _s2.lsb_for_level(join_level)
+                k = begin
+                while k != end:
+                    kkeys.add(k)
+                    k += step
+        for k in sorted(kkeys):
+            keys.append(k)
+            tkeys.append(int(tid))
+            interior.append(region.contains_cell(k))
+            for name, val in zip(bounds_cols, region.deg_bounds):
+                bounds_cols[name].append(val)
+    return pa.table({
+        "cell_k": pa.array(np.asarray(keys, dtype=np.uint64).view(np.int64)),
+        "tile_key": pa.array(tkeys, type=pa.int64()),
+        "interior": pa.array(interior),
+        **{k: pa.array(v, type=pa.float64()) for k, v in bounds_cols.items()},
+    })
+
+
+def spatial_join_hash_plan(points_ds, tiles: list[tuple], join_level: int = 8,
+                           num_partitions: int = 8, keep_cols=("event_id",)):
+    """Shuffle-based spatial join (the documented fallback when the tiles
+    side outgrows broadcast): both sides keyed by the level-K Hilbert
+    prefix, Ray-native hash join, then vectorized exact refinement from
+    the inlined rect bounds.  Exchanges keys + bounds only — never
+    payloads.  De-dup is unnecessary: level-K keys are unique per tile
+    (coverings are normalized, then exploded disjointly)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    cov_tbl = covering_rows_at_level(tiles, join_level)
+    cov_ds = rd.from_arrow(cov_tbl)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        key = vk.parent(cid, join_level).view(np.int64)
+        return batch.append_column("cell_k", pa.array(key))
+
+    pts = points_ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    joined = pts.join(cov_ds, join_type="inner", num_partitions=num_partitions,
+                      on=("cell_k",))
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ok = batch["interior"].to_numpy(zero_copy_only=False).copy()
+        need = ~ok
+        if need.any():
+            lat_lo = batch["lat_lo"].to_numpy(zero_copy_only=False)
+            lat_hi = batch["lat_hi"].to_numpy(zero_copy_only=False)
+            lng_lo = batch["lng_lo"].to_numpy(zero_copy_only=False)
+            lng_hi = batch["lng_hi"].to_numpy(zero_copy_only=False)
+            wraps = lng_lo > lng_hi
+            in_lng = np.where(wraps, (lng >= lng_lo) | (lng <= lng_hi),
+                              (lng >= lng_lo) & (lng <= lng_hi))
+            ok |= (lat >= lat_lo) & (lat <= lat_hi) & in_lng
+        return batch.select(list(keep_cols) + ["tile_key"]).filter(pa.array(ok))
+
+    return joined.map_batches(refine, batch_format="pyarrow", batch_size=None)
