@@ -37,18 +37,41 @@ def get_covering(
     max_level: int = 30,
     level_mod: int = 1,
 ) -> list[int]:
-    """Exterior covering of ``region`` as a normalized list of cell ids."""
-    del level_mod  # v0 supports level_mod=1 only (documented deviation)
+    """Exterior covering of ``region`` as a normalized list of cell ids.
+
+    ``level_mod`` ∈ {1,2,3}: output cells at levels ≥ min_level sit on
+    the (min_level + k·level_mod) grid — candidates below min_level
+    descend one level at a time, candidates at/above it descend
+    ``level_mod`` levels per expansion (the family's semantics).  With
+    level_mod > 1 the sibling-merge normalization is skipped (merging
+    would leave the level grid); output is still sorted + containment-
+    free.
+    """
+    if level_mod not in (1, 2, 3):
+        raise ValueError("level_mod must be 1, 2 or 3")
     result: list[int] = []
     pq: list = []
     counter = itertools.count()
+
+    def _descend(lvl: int) -> int:
+        """Levels to descend from a candidate at ``lvl`` in one step."""
+        if lvl < min_level:
+            return min(1, max_level - lvl) if lvl < max_level else 0
+        return level_mod if lvl + level_mod <= max_level else 0
 
     def make_candidate(cell_id: int):
         if not region.may_intersect_cell(cell_id):
             return None
         lvl = _s2.level(cell_id)
-        is_terminal = lvl >= max_level or (lvl >= min_level and region.contains_cell(cell_id))
+        on_grid = lvl >= min_level and (lvl - min_level) % level_mod == 0
+        is_terminal = (_descend(lvl) == 0) or (on_grid and region.contains_cell(cell_id))
         return [cell_id, is_terminal]
+
+    def _expand(cell_id: int, depth: int) -> list[int]:
+        cells = [cell_id]
+        for _ in range(depth):
+            cells = [g for c in cells for g in _s2.children(c)]
+        return cells
 
     def add_candidate(cand) -> None:
         if cand is None:
@@ -58,9 +81,10 @@ def get_covering(
         if is_terminal:
             result.append(cell_id)
             return
+        depth = _descend(lvl)
         children = []
         num_terminals = 0
-        for ch in _s2.children(cell_id):
+        for ch in _expand(cell_id, depth):
             c = make_candidate(ch)
             if c is not None:
                 children.append(c)
@@ -68,8 +92,9 @@ def get_covering(
                     num_terminals += 1
         if not children:
             return
-        if num_terminals == 4 and lvl >= min_level:
-            # all four children terminal → the parent is effectively terminal
+        if num_terminals == len(children) == 4 ** depth and lvl >= min_level \
+                and (lvl - min_level) % level_mod == 0:
+            # every child terminal → the (on-grid) parent is terminal
             result.append(cell_id)
             return
         # min-heap: expand lowest level first, then fewest children/terminals
@@ -89,7 +114,16 @@ def get_covering(
                 add_candidate(c)
         else:
             result.append(cell_id)
-    return normalize_cell_union(result)
+    if level_mod == 1:
+        return normalize_cell_union(result)
+    # sorted + drop-contained only (merges would break the level grid)
+    ids = sorted(result)
+    out: list[int] = []
+    for cid in ids:
+        if out and _s2.range_min(out[-1]) <= cid <= _s2.range_max(out[-1]):
+            continue
+        out.append(cid)
+    return out
 
 
 def get_interior_covering(

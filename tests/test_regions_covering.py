@@ -264,3 +264,22 @@ def test_polyline_region(rng):
     for c in get_interior_covering(region, max_cells=16, max_level=14):
         probe = np.asarray(o.cell_vertices(c) + [o.to_point(c)])
         assert region.contains_points(probe).all()
+
+
+@pytest.mark.parametrize("level_mod", [2, 3])
+def test_covering_level_mod(level_mod, rng):
+    region = CapRegion.from_latlng_radius(20.0, 50.0, 0.05)
+    min_level, max_level = 4, 14
+    cov = get_covering(region, max_cells=48, min_level=min_level,
+                       max_level=max_level, level_mod=level_mod)
+    assert cov
+    for c in cov:
+        lvl = o.level(c)
+        assert lvl <= max_level
+        if lvl >= min_level:
+            assert (lvl - min_level) % level_mod == 0, (lvl, level_mod)
+    # superset property still holds
+    pts = sample_sphere(rng, 30_000)
+    inside = region.contains_points(pts)
+    # drop-contained output is disjoint → the searchsorted check is valid
+    assert _point_in_union(cov, pts[inside]).all()
