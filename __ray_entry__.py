@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covering_mixed_tiles": X.covering_mixed_tiles,
         "phash_band_buckets": X.phash_band_buckets,
         "route_proximity_events": X.route_proximity_events,
+        "dedup_images_phash": X.dedup_images_phash,
         "q1_pricing_summary": q1,
         "top_orders": top_orders,
         "customer_order_stats": customer_order_stats,

@@ -305,6 +305,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     for name, fn in BENCHES.items():
         fn(sf_dir, scale=1)
 
+    want_stats = os.environ.get("GRAFT_BENCH_STATS")
     queries = {}
     total = 0.0
     for name, fn in BENCHES.items():
@@ -313,6 +314,12 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         dt = time.time() - t0
         queries[name] = round(dt, 3)
         total += dt
+    if want_stats:
+        # per-stage ds.stats() breakdown for the record (BASELINE.md
+        # protocol); goes to stderr so stdout stays one JSON line
+        ds = _derive_points(sf_dir, replicate=scale)
+        ds = ds.materialize()
+        print(ds.stats(), file=sys.stderr)
     ray.shutdown()
     return {
         "metric": "headline_pipelines_wall_sec",

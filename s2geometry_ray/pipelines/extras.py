@@ -260,3 +260,17 @@ def route_proximity_events(sf_dir: str, radius_rad: float = 0.02):
     out = pts.map_batches(make_spatial_join_fn(ref, ["event_id"]),
                           batch_format="pyarrow", batch_size=None)
     return out.select_columns(["event_id", "tile_id"])
+
+
+def dedup_images_phash(_sf_dir: str, n: int = 800):
+    """Rows-only: O9 exact dedup keyed on the perceptual hash over the
+    synthetic images table (payload-free variant): min image_id survives
+    per phash group."""
+    from ray.data.aggregate import Count, Min
+
+    from s2geometry_ray.sources.synth import images_dataset
+
+    ds = images_dataset(n, with_bytes=False)
+    out = ds.groupby("phash").aggregate(
+        Min("image_id", alias_name="image_id"), Count(alias_name="n_copies"))
+    return out.select_columns(["image_id", "n_copies"])

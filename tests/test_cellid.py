@@ -273,3 +273,21 @@ def test_point_to_arc_distance():
         sampled = vk.angle(np.broadcast_to(np.asarray(p), pts.shape), pts).min()
         assert got <= sampled + 1e-9
         assert sampled - got < 1e-5  # dense sampling converges to the min
+
+
+def test_frozen_anchors():
+    """Both implementations must reproduce the committed literal anchors
+    (tests/anchors.py, frozen at first dual-implementation agreement —
+    FIXTURES.md §5). Catches any silent future drift in either path."""
+    from tests.anchors import ANCHORS
+
+    lat = np.array([a["lat"] for a in ANCHORS])
+    lng = np.array([a["lng"] for a in ANCHORS])
+    vec = vk.from_latlng(lat, lng)
+    for k, a in enumerate(ANCHORS):
+        assert o.from_lat_lng(a["lat"], a["lng"]) == a["cell_id"]
+        assert int(vec[k]) == a["cell_id"]
+        assert o.token(a["cell_id"]) == a["token"]
+        assert o.parent(a["cell_id"], 8) == a["parent8"]
+        assert o.parent(a["cell_id"], 12) == a["parent12"]
+        assert o.edge_neighbors(a["parent8"]) == a["edge_neighbors8"]

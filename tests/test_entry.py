@@ -34,8 +34,10 @@ def test_entry_smoke(ray_session):
     assert {"tile_key", "n", "value_cents"} <= set(df.columns)
 
 
-@pytest.mark.parametrize("name", ["spatial_join_rect", "knn_events",
-                                  "events_window_counts", "dedup_doc_prefix16"])
+@pytest.mark.parametrize("name", ["spatial_join_rect", "spatial_join_rect_hash",
+                                  "knn_events", "events_window_counts",
+                                  "dedup_doc_prefix16", "tile_assign_salted",
+                                  "sessionize_events", "order_priority_revenue"])
 def test_gate_queries_vs_duckdb(ray_session, name):
     con = duckdb.connect()
     for t in TABLES:
