@@ -69,29 +69,55 @@ def xyz_to_face(xyz: np.ndarray) -> np.ndarray:
     return np.where(comp < 0.0, face + 3, face)
 
 
+# per-face component formulas as (source index, sign) pairs; evaluated
+# with masked gathers so each row is touched once (np.select would
+# evaluate every branch over the full array — 6x the work and traffic)
+_XYZ_FROM_UV = (
+    # face: ((x src, sign), (y src, sign), (z src, sign)); src: 0=u, 1=v, 2=one
+    (((2, 1.0), (0, 1.0), (1, 1.0))),   # ( 1,  u,  v)
+    (((0, -1.0), (2, 1.0), (1, 1.0))),  # (-u,  1,  v)
+    (((0, -1.0), (1, -1.0), (2, 1.0))),  # (-u, -v,  1)
+    (((2, -1.0), (1, -1.0), (0, -1.0))),  # (-1, -v, -u)
+    (((1, 1.0), (2, -1.0), (0, -1.0))),  # ( v, -1, -u)
+    (((1, 1.0), (0, 1.0), (2, -1.0))),  # ( v,  u, -1)
+)
+
+# face → ((u numerator, u denominator), (v numerator, v denominator));
+# components indexed 0=x, 1=y, 2=z, signs folded in
+_UV_FROM_XYZ = (
+    ((1, 0, 1.0), (2, 0, 1.0)),    # u= y/x, v= z/x
+    ((0, 1, -1.0), (2, 1, 1.0)),   # u=-x/y, v= z/y
+    ((0, 2, -1.0), (1, 2, -1.0)),  # u=-x/z, v=-y/z
+    ((2, 0, 1.0), (1, 0, 1.0)),    # u= z/x, v= y/x
+    ((2, 1, 1.0), (0, 1, -1.0)),   # u= z/y, v=-x/y
+    ((1, 2, -1.0), (0, 2, -1.0)),  # u=-y/z, v=-x/z
+)
+
+
 def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    one = np.ones_like(u)
-    # per-face (x, y, z) component expressions, selected by face index
-    xs = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
-                   [one, -u, -u, -one, v, v])
-    ys = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
-                   [u, one, -v, -v, -one, u])
-    zs = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
-                   [v, v, one, -u, -u, -one])
-    return np.stack([xs, ys, zs], axis=1)
+    out = np.empty((face.shape[0], 3), dtype=np.float64)
+    comps = (u, v, None)
+    for f in range(6):
+        m = face == f
+        if not m.any():
+            continue
+        for axis, (src, sign) in enumerate(_XYZ_FROM_UV[f]):
+            out[m, axis] = sign if src == 2 else sign * comps[src][m]
+    return out
 
 
 def valid_face_xyz_to_uv(face: np.ndarray, xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        u = np.select(
-            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
-            [y / x, -x / y, -x / z, z / x, z / y, -y / z],
-        )
-        v = np.select(
-            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
-            [z / x, z / y, -y / z, y / x, -x / y, -x / z],
-        )
+    n = face.shape[0]
+    u = np.empty(n, dtype=np.float64)
+    v = np.empty(n, dtype=np.float64)
+    for f in range(6):
+        m = face == f
+        if not m.any():
+            continue
+        (un, ud, us), (vn, vd, vs) = _UV_FROM_XYZ[f]
+        g = xyz[m]  # one gather per face; columns are strided views
+        u[m] = us * g[:, un] / g[:, ud]
+        v[m] = vs * g[:, vn] / g[:, vd]
     return u, v
 
 
@@ -102,13 +128,15 @@ def xyz_to_face_uv(xyz: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def uv_to_st(u: np.ndarray) -> np.ndarray:
-    """Quadratic projection (Java/Swift convention), s ∈ [0,1]."""
-    with np.errstate(invalid="ignore"):  # np.where evaluates the unselected branch
-        return np.where(
-            u >= 0.0,
-            0.5 * np.sqrt(1.0 + 3.0 * u),
-            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
-        )
+    """Quadratic projection (Java/Swift convention), s ∈ [0,1].
+    Masked branches: each row pays one sqrt (np.where would pay two)."""
+    u = np.asarray(u, dtype=np.float64)
+    out = np.empty_like(u)
+    m = u >= 0.0
+    out[m] = 0.5 * np.sqrt(1.0 + 3.0 * u[m])
+    nm = ~m
+    out[nm] = 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u[nm])
+    return out
 
 
 def st_to_uv(s: np.ndarray) -> np.ndarray:
