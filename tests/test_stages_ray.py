@@ -312,3 +312,73 @@ def test_circumradius_bound_safe():
         bound = 0.5 * QueryIndex._CIRCUM_DERIV * (2.0 ** (-level))
         for c in ids:
             assert _cell_circumradius(int(c)) <= bound, (level, hex(int(c)))
+
+
+def test_join_plans_agree_on_exact_boundaries(ray_session):
+    """Points landing EXACTLY on rect boundaries must be included by both
+    join plans (closed intervals, BETWEEN semantics), identically."""
+    import ray.data as rd
+
+    from s2geometry_ray.kernels.regions import RectRegion
+    from s2geometry_ray.stages.cell_assign import assign_cells
+    from s2geometry_ray.stages.spatial_join import (
+        CoveringIndex,
+        make_spatial_join_fn,
+        spatial_join_hash_plan,
+    )
+
+    # tile with integer-degree bounds; points exactly on every edge/corner
+    tile = ("7", RectRegion.from_degrees(-75.0, -70.0, 10.0, 18.0))
+    lats = np.array([-75.0, -70.0, -72.5, -75.0, -70.0, -74.999999, -75.000001])
+    lngs = np.array([10.0, 18.0, 14.0, 18.0, 10.0, 10.0, 10.0])
+    want_in = np.array([True, True, True, True, True, True, False])
+    t = pa.table({"event_id": pa.array(np.arange(len(lats), dtype=np.int64)),
+                  "lat": pa.array(lats), "lng": pa.array(lngs)})
+    pts = rd.from_arrow(t).map_batches(
+        lambda b: assign_cells(b, levels=()), batch_format="pyarrow")
+
+    idx = CoveringIndex.build([tile], max_cells=64, max_level=14)
+    ref = ray_session.put(idx)
+    bc = pts.map_batches(make_spatial_join_fn(ref, ["event_id"]),
+                         batch_format="pyarrow").to_pandas()
+    hj = spatial_join_hash_plan(pts, [tile], join_level=8,
+                                keep_cols=("event_id",)).to_pandas()
+    want = set(np.nonzero(want_in)[0].tolist())
+    assert set(bc["event_id"]) == want, "broadcast plan boundary semantics"
+    assert set(hj["event_id"]) == want, "hash plan boundary semantics"
+
+
+def test_join_plans_agree_on_dateline_wrap(ray_session):
+    """A ±180°-wrapping rect must behave identically in both plans."""
+    import ray.data as rd
+
+    from s2geometry_ray.kernels.regions import RectRegion
+    from s2geometry_ray.stages.cell_assign import assign_cells
+    from s2geometry_ray.stages.spatial_join import (
+        CoveringIndex,
+        make_spatial_join_fn,
+        spatial_join_hash_plan,
+    )
+
+    tile = ("3", RectRegion.from_degrees(-10.0, 10.0, 170.0, -165.0))
+    rng2 = np.random.default_rng(77)
+    lats = rng2.uniform(-15.0, 15.0, 3000)
+    lngs = np.concatenate([rng2.uniform(160.0, 180.0, 1500),
+                           rng2.uniform(-180.0, -155.0, 1500)])
+    t = pa.table({"event_id": pa.array(np.arange(3000, dtype=np.int64)),
+                  "lat": pa.array(lats), "lng": pa.array(lngs)})
+    pts = rd.from_arrow(t).map_batches(
+        lambda b: assign_cells(b, levels=()), batch_format="pyarrow").materialize()
+
+    idx = CoveringIndex.build([tile], max_cells=64, max_level=14)
+    ref = ray_session.put(idx)
+    bc = pts.map_batches(make_spatial_join_fn(ref, ["event_id"]),
+                         batch_format="pyarrow").to_pandas()
+    hj = spatial_join_hash_plan(pts, [tile], join_level=8,
+                                keep_cols=("event_id",)).to_pandas()
+    want = set(np.nonzero(
+        (lats >= -10.0) & (lats <= 10.0) & ((lngs >= 170.0) | (lngs <= -165.0))
+    )[0].tolist())
+    assert set(bc["event_id"]) == want
+    assert set(hj["event_id"]) == want
+    assert len(want) > 100  # the fixture actually exercises the wrap
