@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_band_buckets": X.phash_band_buckets,
         "route_proximity_events": X.route_proximity_events,
         "dedup_images_phash": X.dedup_images_phash,
+        "cell_stats_events": X.cell_stats_events,
         "q1_pricing_summary": q1,
         "top_orders": top_orders,
         "customer_order_stats": customer_order_stats,

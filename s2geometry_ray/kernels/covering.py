@@ -132,18 +132,28 @@ def get_interior_covering(
     min_level: int = 0,
     max_level: int = 30,
 ) -> list[int]:
-    """Cells provably inside the region (⊆ region); may be empty."""
+    """Cells provably inside the region (⊆ region); may be empty.
+
+    Best-first: candidates pop shallowest-first so the budget is spent
+    on the LARGEST provably-interior cells (a DFS budget would burn
+    max_cells on deep cells in one corner)."""
     result: list[int] = []
-    stack = [(face << 61) | (1 << 60) for face in range(6)]
-    while stack and len(result) < max_cells:
-        cell_id = stack.pop()
-        if not region.may_intersect_cell(cell_id):
-            continue
-        lvl = _s2.level(cell_id)
+    pq: list = []
+    counter = itertools.count()
+
+    def push(cell_id: int) -> None:
+        if region.may_intersect_cell(cell_id):
+            heapq.heappush(pq, (_s2.level(cell_id), next(counter), cell_id))
+
+    for face in range(6):
+        push((face << 61) | (1 << 60))
+    while pq and len(result) < max_cells:
+        lvl, _, cell_id = heapq.heappop(pq)
         if lvl >= min_level and region.contains_cell(cell_id):
             result.append(cell_id)
         elif lvl < max_level:
-            stack.extend(_s2.children(cell_id))
+            for ch in _s2.children(cell_id):
+                push(ch)
     return normalize_cell_union(result)
 
 

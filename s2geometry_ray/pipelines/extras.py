@@ -274,3 +274,13 @@ def dedup_images_phash(_sf_dir: str, n: int = 800):
     out = ds.groupby("phash").aggregate(
         Min("image_id", alias_name="image_id"), Count(alias_name="n_copies"))
     return out.select_columns(["image_id", "n_copies"])
+
+
+def cell_stats_events(sf_dir: str):
+    """Rows-only: O6 grouped stats per level-8 Hilbert prefix over the
+    event points (map-side pre-aggregation + bounded combine)."""
+    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.stages.tile_assign import grouped_stats
+
+    pts = _points_ds(sf_dir, extra_cols=("value",))
+    return grouped_stats(pts, "cell_l8", "value")
