@@ -334,6 +334,29 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--job" in sys.argv:  # single-job mode (BASELINE.md protocol)
+        import logging
+
+        import ray
+
+        job = sys.argv[sys.argv.index("--job") + 1]
+        fn = BENCHES[job]
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        scale = int(os.environ.get("GRAFT_BENCH_SCALE", "8"))
+        fn(sf_dir, scale=1)  # warm lap
+        t0 = time.time()
+        r = fn(sf_dir, scale=scale)
+        dt = time.time() - t0
+        ray.shutdown()
+        print(json.dumps({"metric": f"{job}_wall_sec", "value": round(dt, 3),
+                          "unit": "sec", "detail": r, "sf": sf_dir,
+                          "num_cpus": num_cpus}))
+        return
     if "--scaling-child" in sys.argv:
         import logging
 

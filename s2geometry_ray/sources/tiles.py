@@ -12,7 +12,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from s2geometry_ray.kernels.regions import CapRegion, LoopRegion, RectRegion
+from s2geometry_ray.kernels.regions import (
+    CapRegion,
+    LoopRegion,
+    PolygonRegion,
+    RectRegion,
+)
 
 TILE_SCHEMA = pa.schema([
     ("tile_id", pa.string()),
@@ -88,6 +93,11 @@ def gen_tiles(n: int = 25, seed: int = 7):
     add("tile-facecorner", "polygon",
         loops=[[{"lat": la, "lng": ln} for la, ln in corner]],
         region=LoopRegion.from_latlng_degrees(corner))
+    shell = [(-50.0, 20.0), (-50.0, 30.0), (-42.0, 30.0), (-42.0, 20.0)]
+    hole = [(-48.0, 23.0), (-45.0, 23.0), (-45.0, 27.0), (-48.0, 27.0)][::-1]
+    add("tile-holed", "polygon",
+        loops=[[{"lat": la, "lng": ln} for la, ln in lp] for lp in (shell, hole)],
+        region=PolygonRegion.from_latlng_degrees([shell, hole]))
 
     table = pa.Table.from_pylist(rows, schema=TILE_SCHEMA)
     return table, regions
@@ -104,8 +114,11 @@ def regions_from_table(table: pa.Table):
             out.append((row["tile_id"], RectRegion.from_degrees(
                 r["lat_lo"], r["lat_hi"], r["lng_lo"], r["lng_hi"])))
         elif kind == "polygon":
-            loop = [(p["lat"], p["lng"]) for p in row["loops"][0]]
-            out.append((row["tile_id"], LoopRegion.from_latlng_degrees(loop)))
+            loops = [[(p["lat"], p["lng"]) for p in lp] for lp in row["loops"]]
+            if len(loops) == 1:
+                out.append((row["tile_id"], LoopRegion.from_latlng_degrees(loops[0])))
+            else:  # loop 0 = shell, rest = holes (FIXTURES §2 / SURVEY §2.1)
+                out.append((row["tile_id"], PolygonRegion.from_latlng_degrees(loops)))
         else:
             c = row["cap"]
             out.append((row["tile_id"], CapRegion.from_latlng_radius(
