@@ -38,3 +38,24 @@ def repo_on_path() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if here not in sys.path:
         sys.path.insert(0, here)
+
+
+def make_points_prep(key_col: str, levels: tuple = (), with_token: bool = False):
+    """Shared job-side prep: derive geotags when absent (synthetic images
+    key convention) and assign leaf + prefix cells."""
+    import pyarrow as pa
+
+    from s2geometry_ray.stages.cell_assign import assign_cells
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if "lat" not in batch.column_names:
+            from s2geometry_ray.sources.synth import derive_latlng
+
+            lats, lngs = zip(*(derive_latlng(i) for i in
+                               batch[key_col].to_pylist()))
+            batch = batch.append_column("lat", pa.array(lats, type=pa.float64()))
+            batch = batch.append_column("lng", pa.array(lngs, type=pa.float64()))
+        return assign_cells(batch.select([key_col, "lat", "lng"]),
+                            levels=levels, with_token=with_token)
+
+    return prep

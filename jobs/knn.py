@@ -40,15 +40,7 @@ def main() -> None:
     q = pq.read_table(args.queries)
     pts = read_table(args.points)
 
-    def prep(batch: pa.Table) -> pa.Table:
-        if "lat" not in batch.column_names:
-            from s2geometry_ray.sources.synth import derive_latlng
-
-            lats, lngs = zip(*(derive_latlng(i) for i in
-                               batch[args.key_col].to_pylist()))
-            batch = batch.append_column("lat", pa.array(lats, type=pa.float64()))
-            batch = batch.append_column("lng", pa.array(lngs, type=pa.float64()))
-        return assign_cells(batch.select([args.key_col, "lat", "lng"]), levels=())
+    prep = C.make_points_prep(args.key_col)
 
     pts = pts.map_batches(prep, batch_format="pyarrow", batch_size=None)
     res = knn(pts,

@@ -52,15 +52,7 @@ def main() -> None:
     pts = read_table(args.points)
     cols = set(pts.schema().names)
 
-    def prep(batch: pa.Table) -> pa.Table:
-        if "lat" not in batch.column_names:
-            from s2geometry_ray.sources.synth import derive_latlng
-
-            lats, lngs = zip(*(derive_latlng(i) for i in
-                               batch[args.key_col].to_pylist()))
-            batch = batch.append_column("lat", pa.array(lats, type=pa.float64()))
-            batch = batch.append_column("lng", pa.array(lngs, type=pa.float64()))
-        return assign_cells(batch.select([args.key_col, "lat", "lng"]), levels=())
+    prep = C.make_points_prep(args.key_col)
 
     assert args.key_col in cols, f"{args.key_col} not in {cols}"
     joined = pts.map_batches(prep, batch_format="pyarrow", batch_size=None) \
