@@ -220,10 +220,6 @@ def covering_table(
 # ---------------------------------------------------------------------------
 
 
-def _to_ranges(union: list[int]) -> list[tuple[int, int]]:
-    return [(_s2.range_min(c), _s2.range_max(c)) for c in union]
-
-
 def union_contains_id(union: list[int], cell_id: int) -> bool:
     """R6 on a normalized union: binary search over disjoint ranges."""
     import bisect

@@ -382,3 +382,64 @@ def test_join_plans_agree_on_dateline_wrap(ray_session):
     assert set(bc["event_id"]) == want
     assert set(hj["event_id"]) == want
     assert len(want) > 100  # the fixture actually exercises the wrap
+
+
+def test_source_format_roundtrips(tmp_path, ray_session):
+    """O2 source coverage: the events slice survives parquet→csv/json
+    round trips through Ray's readers/writers."""
+    import ray.data as rd
+
+    src = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_id", "event_type", "value"]).limit(500)
+    want = src.to_pandas().sort_values("event_id").reset_index(drop=True)
+    csv_dir = str(tmp_path / "csv")
+    json_dir = str(tmp_path / "json")
+    src.write_csv(csv_dir)
+    src.write_json(json_dir)
+    got_csv = rd.read_csv(csv_dir).to_pandas().sort_values("event_id").reset_index(drop=True)
+    got_json = rd.read_json(json_dir).to_pandas().sort_values("event_id").reset_index(drop=True)
+    for got in (got_csv, got_json):
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        assert got["event_type"].tolist() == want["event_type"].tolist()
+        assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy())
+
+
+def test_shuffle_order_insensitivity(ray_session):
+    """O13/O14: random_shuffle and shuffled repartition must not change
+    any order-insensitive aggregate the engine produces."""
+    import ray.data as rd
+
+    from s2geometry_ray.stages.tile_assign import grouped_stats
+
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64) % 17),
+                  "v": pa.array(np.arange(5000, dtype=np.float64))})
+    base = rd.from_arrow(t)
+    a = grouped_stats(base, "k", "v").to_pandas().sort_values("k").reset_index(drop=True)
+    b = grouped_stats(base.random_shuffle(seed=3), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    c = grouped_stats(base.repartition(7, shuffle=True), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for other in (b, c):
+        assert a["n"].tolist() == other["n"].tolist()
+        assert np.allclose(a["s"].to_numpy(), other["s"].to_numpy())
+        assert a["mn"].tolist() == other["mn"].tolist()
+        assert a["mx"].tolist() == other["mx"].tolist()
+
+
+def test_streaming_consumption_iter_batches(ray_session):
+    """Streaming driver-side consumption (iter_batches) matches the
+    materialized result — the pattern large outputs are drained with."""
+    import ray.data as rd
+
+    from s2geometry_ray.stages.cell_assign import make_geotag_and_assign
+
+    ds = rd.from_arrow(pa.table({"pt_key": pa.array(np.arange(8000, dtype=np.int64))}))
+    pts = ds.map_batches(make_geotag_and_assign("pt_key", levels=(6,)),
+                         batch_format="pyarrow")
+    total = 0
+    cells = set()
+    for b in pts.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        total += len(b)
+        cells.update(b["cell_l6"].to_numpy(zero_copy_only=False).tolist())
+    assert total == 8000
+    assert len(cells) > 100
