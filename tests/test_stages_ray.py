@@ -443,3 +443,54 @@ def test_streaming_consumption_iter_batches(ray_session):
         cells.update(b["cell_l6"].to_numpy(zero_copy_only=False).tolist())
     assert total == 8000
     assert len(cells) > 100
+
+
+def test_knn_fallback_path_exact(points_ds):
+    """Force the completeness guard to fail (level too deep, no rings)
+    so the brute fallback runs — results must still be exact."""
+    from s2geometry_ray.stages.knn import knn
+
+    qk = np.array([11, 222, 3333], dtype=np.int64)
+    qlat, qlng = derive_lat(qk), derive_lng(qk)
+    res = knn(points_ds, qk, qlat, qlng, 8, "pt_key",
+              leaf_col="cell_id", level=12, rings=0).to_pandas()
+    k = np.arange(20000)
+    pxyz = vk.latlng_to_xyz(derive_lat(k), derive_lng(k))
+    qxyz = vk.latlng_to_xyz(qlat, qlng)
+    for qi, qid in enumerate(qk):
+        d2 = ((pxyz - qxyz[qi]) ** 2).sum(axis=1)
+        want = set(k[np.lexsort((k, d2))[:8]].tolist())
+        got = set(res[res["query_id"] == qid]["pt_key"].tolist())
+        assert got == want, qid
+
+
+def test_spatial_join_actor_pool_variant(points_ds, ray_session):
+    """The actor-pool join stage must produce the same rows as the
+    stateless broadcast stage."""
+    from s2geometry_ray.stages.spatial_join import (
+        CoveringIndex,
+        SpatialJoinActor,
+        make_spatial_join_fn,
+        tiles_from_keys,
+    )
+
+    tiles = tiles_from_keys(np.arange(10))
+    index = CoveringIndex.build(tiles, max_cells=32, max_level=12)
+    ref = ray_session.put(index)
+    stateless = points_ds.map_batches(
+        make_spatial_join_fn(ref, ["pt_key"]), batch_format="pyarrow").to_pandas()
+    pooled = points_ds.map_batches(
+        SpatialJoinActor, fn_constructor_args=(ref, ["pt_key"]),
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    a = {(int(r.pt_key), r.tile_id) for r in stateless.itertuples()}
+    b = {(int(r.pt_key), r.tile_id) for r in pooled.itertuples()}
+    assert a == b and len(a) > 0
+
+
+def test_covering_deterministic():
+    from s2geometry_ray.kernels.regions import CapRegion
+    from s2geometry_ray.kernels.covering import get_covering
+
+    r = CapRegion.from_latlng_radius(1.5, 2.5, 0.04)
+    assert get_covering(r, max_cells=24, max_level=14) == \
+        get_covering(r, max_cells=24, max_level=14)
