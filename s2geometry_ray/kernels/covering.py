@@ -98,8 +98,11 @@ def get_covering(
             result.append(cell_id)
             return
         # min-heap: expand lowest level first, then fewest children/terminals
-        # (the family uses the same key negated in a max-heap)
-        priority = ((lvl << 2) + len(children) << 2) + num_terminals
+        # (the family uses the same key negated in a max-heap).  Field width
+        # must hold up to 4**level_mod children (+1 for the ==4**level_mod
+        # edge), so shift by 2*level_mod + 1.
+        shift = 2 * level_mod + 1
+        priority = (((lvl << shift) + len(children)) << shift) + num_terminals
         heapq.heappush(pq, (priority, next(counter), cell_id, children))
 
     for face in range(6):
@@ -122,6 +125,9 @@ def get_covering(
     for cid in ids:
         if out and _s2.range_min(out[-1]) <= cid <= _s2.range_max(out[-1]):
             continue
+        cmin = _s2.range_min(cid)
+        while out and cmin <= out[-1] <= _s2.range_max(cid):
+            out.pop()
         out.append(cid)
     return out
 
@@ -166,6 +172,12 @@ def normalize_cell_union(cell_ids) -> list[int]:
         # drop if contained in the last kept cell
         if out and _s2.range_min(out[-1]) <= cid <= _s2.range_max(out[-1]):
             continue
+        # drop previously-kept cells contained by cid: a descendant in the
+        # parent's first quadrants sorts BEFORE the parent, so pop trailing
+        # entries that fall inside cid's range (family Normalize semantics)
+        cmin = _s2.range_min(cid)
+        while out and cmin <= out[-1] <= _s2.range_max(cid):
+            out.pop()
         # merge complete sibling groups (may cascade)
         while len(out) >= 3 and _are_siblings(out[-3], out[-2], out[-1], cid):
             cid = _s2.parent(cid, _s2.level(cid) - 1)
@@ -247,7 +259,15 @@ def union_intersection(a: list[int], b: list[int]) -> list[int]:
         elif bmax < amin:
             j += 1
         else:
-            out.append(a[i] if amin >= bmin else b[j])
+            # overlap ⇒ containment (Hilbert ranges nest-or-disjoint): keep
+            # the deeper (contained) cell.  On a range_min tie the deeper
+            # cell is the one with the smaller range_max.
+            if amin > bmin:
+                out.append(a[i])
+            elif bmin > amin:
+                out.append(b[j])
+            else:
+                out.append(a[i] if amax <= bmax else b[j])
             if amax <= bmax:
                 i += 1
             else:

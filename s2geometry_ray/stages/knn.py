@@ -256,7 +256,7 @@ def knn(ds, query_ids, qlat, qlng, k: int, key_col: str,
         bad = [
             qid
             for qid, g in res.groupby("query_id")
-            if len(g) < k or g["dist"].iloc[-1] > bounds[qid]
+            if len(g) < k or g["dist"].iloc[-1] >= bounds[qid]
         ]
         if bad:
             sel = np.isin(index.query_ids, bad)

@@ -89,6 +89,25 @@ def test_normalize_merges_siblings():
     assert normalize_cell_union(grand) == [cid]
 
 
+def test_normalize_descendant_before_ancestor():
+    """A descendant in the parent's first quadrant sorts BEFORE the parent;
+    normalize must still drop it (ADVICE r1: previously kept both)."""
+    cid = o.parent(o.from_lat_lng(10.0, 10.0), 8)
+    kids = o.children(cid)
+    early = o.children(kids[0])[0]  # sorts before cid
+    assert int(early) < int(cid)
+    assert normalize_cell_union([early, cid]) == [cid]
+    # several early descendants + the ancestor
+    deep = o.children(o.children(kids[1])[0])[0]
+    assert normalize_cell_union([early, deep, cid]) == [cid]
+    # invariant: output has no contained pairs, any input order
+    out = normalize_cell_union([cid, early, kids[2]])
+    for i in range(len(out)):
+        for j in range(len(out)):
+            if i != j:
+                assert not (o.range_min(out[i]) <= out[j] <= o.range_max(out[i]))
+
+
 def test_covering_max_cells_budgets():
     region = CapRegion.from_latlng_radius(12.0, 77.0, 0.02)
     for mc in (4, 8, 16, 64):
@@ -232,6 +251,22 @@ def test_cellunion_set_algebra():
     E = union_expand([a_cell], 6)
     assert union_contains_id(E, a_cell)
     assert len(E) > 1
+
+
+def test_union_intersection_tie_and_symmetry():
+    """ADVICE r1: on a range_min tie keep the DEEPER cell; intersection is
+    symmetric (parent ∩ first-child == first-child both ways)."""
+    from s2geometry_ray.kernels.covering import union_intersection
+
+    face = (2 << 61) | (1 << 60)
+    child0 = o.children(face)[0]  # shares range_min with face
+    assert o.range_min(face) == o.range_min(child0)
+    assert union_intersection([face], [child0]) == [child0]
+    assert union_intersection([child0], [face]) == [child0]
+    # deeper still: grandchild in quadrant 0
+    g0 = o.children(child0)[0]
+    assert union_intersection([face], [g0]) == [g0]
+    assert union_intersection([g0], [face]) == [g0]
 
 
 def test_polyline_region(rng):
