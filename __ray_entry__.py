@@ -162,9 +162,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ivf_topk(_embeddings(sf), qm, k=20)
 
     def cosine_neardup_embeddings(sf):
+        """Plant exact duplicates of every 10th vector (vec_id+1_000_000),
+        then find cosine-≥0.9 pairs via the bucketed near-dup operator.
+        The natural table has no pairs above ~0.52, so every returned row
+        is a planted duplicate — verified against a DuckDB cross-join
+        oracle (the planted SQL mirrors this union)."""
+        import numpy as np
+        import pyarrow as pa
+
         from s2geometry_ray.functions.ann import cosine_neardup_pairs
 
-        out = cosine_neardup_pairs(_embeddings(sf), tau=0.9)
+        base = _embeddings(sf)
+
+        def plant(t):
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            keep = t.filter(pa.array(ids % 10 == 0))
+            return keep.set_column(
+                keep.schema.get_field_index("vec_id"), "vec_id",
+                pa.array(keep["vec_id"].to_numpy(zero_copy_only=False) + 1_000_000))
+
+        ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+        n = base.count()
+        out = cosine_neardup_pairs(ds, tau=0.9, n_rows_hint=n + (n + 9) // 10)
         return out.select_columns(["key_a", "key_b"])
 
     from s2geometry_ray.pipelines import extras as X
@@ -261,5 +280,15 @@ FROM (SELECT qid, vec_id,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       FROM d)
 WHERE rn <= 20
+""",
+        "cosine_neardup_embeddings": """
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT CAST(a.vec_id AS BIGINT) AS key_a, CAST(b.vec_id AS BIGINT) AS key_b
+FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
 """,
     }

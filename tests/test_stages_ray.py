@@ -274,10 +274,20 @@ def test_cosine_neardup_finds_planted_pairs(ray_session):
     }))
     pairs = cosine_neardup_pairs(ds, tau=0.98, n_centroids=6,
                                  concurrency=2).to_pandas()
-    found = {(int(a), int(b)) for a, b in zip(pairs["key_a"], pairs["key_b"])}
-    planted = {(i, 250 + i) for i in range(50)}
-    recall = len(found & planted) / 50
-    assert recall >= 0.8, recall  # same-bucket recall; cross-bucket misses documented
+    found = [(int(a), int(b)) for a, b in zip(pairs["key_a"], pairs["key_b"])]
+    # multi-probe must not emit a pair twice (min-common-bucket rule)
+    assert len(found) == len(set(found)), "duplicate pairs emitted"
+    # recall vs the brute O(N²) oracle at the same tau
+    x = emb.astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    oa, ob = np.nonzero(np.triu(sims >= 0.98, k=1))
+    oracle = {(int(a), int(b)) for a, b in zip(oa, ob)}
+    assert oracle, "fixture must plant pairs"
+    recall = len(set(found) & oracle) / len(oracle)
+    assert recall >= 0.9, (recall, len(oracle))
+    # precision is exact: every emitted pair really is >= tau
+    assert set(found) <= oracle
 
 
 def test_salt_plan_uint64_cell_keys(ray_session):
