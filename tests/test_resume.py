@@ -28,7 +28,7 @@ def _output_bytes(out_dir: str) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
-def test_crash_resume_identical(tmp_path):
+def test_crash_resume_identical(tmp_path, ray_session):
     full_dir = str(tmp_path / "full")
     crash_dir = str(tmp_path / "crash")
 
@@ -55,7 +55,7 @@ def test_crash_resume_identical(tmp_path):
     assert _output_bytes(crash_dir) == _output_bytes(full_dir)
 
 
-def test_manifest_fingerprints_match(tmp_path):
+def test_manifest_fingerprints_match(tmp_path, ray_session):
     a = str(tmp_path / "a")
     b = str(tmp_path / "b")
     da = spatial_join_partitioned(SF, a, num_buckets=4)
@@ -65,7 +65,7 @@ def test_manifest_fingerprints_match(tmp_path):
         assert da[name]["row_count"] == db[name]["row_count"]
 
 
-def test_stale_tmp_dir_ignored(tmp_path):
+def test_stale_tmp_dir_ignored(tmp_path, ray_session):
     out = str(tmp_path / "o")
     os.makedirs(os.path.join(out, "part-b000.tmp"))  # crash debris
     with open(os.path.join(out, "part-b000.tmp", "junk"), "w") as fh:
@@ -75,6 +75,29 @@ def test_stale_tmp_dir_ignored(tmp_path):
     assert not os.path.isdir(os.path.join(out, "part-b000.tmp"))
     m = json.load(open(os.path.join(out, "_manifests", "b000.json")))
     assert m["row_count"] == done["b000"]["row_count"]
+
+
+def test_no_read_amplification(tmp_path, ray_session):
+    """Each partition task reads ONLY its own fragment: the one-time
+    shard split stores every input row exactly once (read per bucket =
+    1/B of the input, not the full file), and a resumed run reuses the
+    existing shards (split not redone)."""
+    out = str(tmp_path / "o")
+    spatial_join_partitioned(SF, out, num_buckets=5)
+    import glob
+
+    shard_dir = os.path.join(out, "_input_shards")
+    shards = sorted(glob.glob(os.path.join(shard_dir, "shard-*.parquet")))
+    assert len(shards) == 5
+    n_in = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
+    per_shard = [pq.read_table(s).num_rows for s in shards]
+    assert sum(per_shard) == n_in  # every row stored exactly once
+    assert max(per_shard) - min(per_shard) <= 1  # balanced contiguous ranges
+    # resume must not rebuild the shards (no second full-input read)
+    mtimes = {s: os.path.getmtime(s) for s in shards}
+    spatial_join_partitioned(SF, out, num_buckets=5)
+    for s, t0 in mtimes.items():
+        assert os.path.getmtime(s) == t0, "shard split was redone on resume"
 
 
 def test_partitioned_cell_output(tmp_path, ray_session):

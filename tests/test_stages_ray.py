@@ -178,6 +178,35 @@ def test_minhash_finds_near_duplicates(ray_session):
     assert ngram_jaccard([docs[0]], [base])[0] < 0.3
 
 
+def test_minhash_bulk_matches_scalar():
+    """The Arrow-buffer bulk signature path must be bit-identical to the
+    per-text scalar path (same pack/mix/affine formula)."""
+    from s2geometry_ray.functions.dedup import MinHasher
+
+    mh = MinHasher()
+    texts = ["the quick brown fox", "", "ab", "x" * 4, "hello world " * 40,
+             "Ünïcode tëxt with ümlaut", "exact", "exact",
+             "tab\tand\nnewline chars", "1234567890"]
+    bulk = mh.signatures_bulk(pa.array(texts))
+    for i, t in enumerate(texts):
+        assert (bulk[i] == mh.signature(t)).all(), f"doc {i} ({t!r}) differs"
+
+
+def test_simhash_bulk_consistency():
+    """Bulk simhash over a column equals the per-text wrapper, and docs
+    with shared token multisets hash closer than unrelated docs."""
+    from s2geometry_ray.functions.dedup import SimHasher, hamming64
+
+    sh = SimHasher()
+    texts = ["alpha beta gamma delta", "", "  ", "alpha beta gamma delta",
+             "sömé ünicode wörds", "punct! only?? here..", "a b c d e f"]
+    bulk = sh.simhash_bulk(pa.array(texts))
+    singles = np.array([sh.simhash(t) for t in texts], dtype=np.uint64)
+    assert (bulk == singles).all()
+    assert bulk[0] == bulk[3]  # identical docs → identical simhash
+    assert bulk[1] == 0 and bulk[5] != 0
+
+
 def test_simhash_hamming(ray_session):
     from s2geometry_ray.functions.dedup import SimHasher, hamming64
 
