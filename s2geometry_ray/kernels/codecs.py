@@ -178,11 +178,79 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# qdct — from-scratch LOSSY codec (8×8 block DCT + JPEG-style quantization
+# + zlib).  Exists to exercise the PSNR≥40dB decode clause for real: the
+# sandbox has no Pillow/libjpeg, and every other codec here is lossless.
+# Decode is deterministic, so phash(decode(encode(px))) is still a stable
+# bit-exact verification key even though px itself is not recovered.
+# ---------------------------------------------------------------------------
+
+_QDCT_MAGIC = b"QDC1"
+
+# standard JPEG luminance quantization table (public, ITU T.81 Annex K)
+_JPEG_LUMA_Q = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+
+def _dct8_basis() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.where(k == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    return c * np.cos((2 * n + 1) * k * np.pi / 16.0)
+
+
+_DCT8 = _dct8_basis()
+
+
+def _qdct_table(quality: int) -> np.ndarray:
+    scale = (100 - quality) / 50.0 if quality >= 50 else 50.0 / quality
+    return np.maximum(np.round(_JPEG_LUMA_Q * scale), 1.0)
+
+
+def encode_qdct(pixels: np.ndarray, quality: int = 96) -> bytes:
+    h, w = pixels.shape[:2]
+    ph, pw = -h % 8, -w % 8
+    x = np.pad(pixels.astype(np.float64) - 128.0,
+               ((0, ph), (0, pw), (0, 0)), mode="edge")
+    hh, ww = h + ph, w + pw
+    blocks = x.reshape(hh // 8, 8, ww // 8, 8, 3).transpose(0, 2, 4, 1, 3)
+    coeff = np.einsum("ij,brcjk,lk->brcil", _DCT8, blocks, _DCT8, optimize=True)
+    q = np.round(coeff / _qdct_table(quality)).astype(np.int16)
+    header = _QDCT_MAGIC + np.array([w, h], dtype="<u4").tobytes() \
+        + np.array([quality], dtype="<u2").tobytes()
+    return header + zlib.compress(q.tobytes(), level=6)
+
+
+def decode_qdct(data: bytes) -> np.ndarray:
+    assert data[:4] == _QDCT_MAGIC
+    w, h = np.frombuffer(data[4:12], dtype="<u4").astype(np.int64)
+    quality = int(np.frombuffer(data[12:14], dtype="<u2")[0])
+    hh, ww = h + (-h % 8), w + (-w % 8)
+    q = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
+    q = q.reshape(hh // 8, ww // 8, 3, 8, 8).astype(np.float64)
+    coeff = q * _qdct_table(quality)
+    blocks = np.einsum("ji,brcjk,kl->brcil", _DCT8, coeff, _DCT8, optimize=True)
+    x = blocks.transpose(0, 3, 1, 4, 2).reshape(hh, ww, 3)
+    return np.clip(np.round(x + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
-DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
+ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png,
+            "qdct": encode_qdct}
+DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png,
+            "qdct": decode_qdct}
+LOSSY_FMTS = {"qdct"}
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -193,9 +261,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     return DECODERS[fmt](data)
 
 
-# JPEG is intentionally absent (no Pillow in the sandbox); a lossy codec
-# slots in here behind the same encode/decode interface, at which point
-# the PSNR≥40dB decode check in stages/decode.py activates.
+# Real JPEG is intentionally absent (no Pillow/libjpeg in the sandbox);
+# qdct above fills the lossy slot behind the same encode/decode
+# interface so the PSNR≥40dB decode check runs non-trivially.
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

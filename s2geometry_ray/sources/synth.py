@@ -22,7 +22,7 @@ _ADJ = ["quiet", "bright", "old", "green", "vast", "tiny", "warm", "cold",
         "busy", "calm"]
 _NOUN = ["harbor", "market", "bridge", "garden", "tower", "valley", "square",
          "forest", "canal", "plaza"]
-_FMTS = ["ppm", "bmp", "png"]
+_FMTS = ["ppm", "bmp", "png", "qdct"]  # qdct is LOSSY (PSNR≥40dB contract)
 _SIZES = [16, 32, 64]
 
 # 50 deterministic "city" centers (seeded, fixed forever)
@@ -84,7 +84,7 @@ def gen_image_row(row_id: int, with_bytes: bool = True) -> dict:
     h1 = _hash_u64(image_id, "meta")
     w = _SIZES[h1 % 3]
     hgt = _SIZES[(h1 >> 2) % 3]
-    fmt = _FMTS[(h1 >> 4) % 3]
+    fmt = _FMTS[(h1 >> 4) % 4]
     lat, lng = derive_latlng(image_id)
     caption = (
         f"{_ADJ[(h1 >> 6) % 10]} {_NOUN[(h1 >> 10) % 10]} near ({lat:.4f},{lng:.4f})"
@@ -92,7 +92,14 @@ def gen_image_row(row_id: int, with_bytes: bool = True) -> dict:
     if with_bytes:
         pixels = gen_pixels(image_id, w, hgt)
         data = codecs.encode(pixels, fmt)
-        ph = int(phash64_i64(pixels))
+        if fmt in codecs.LOSSY_FMTS:
+            # stored phash is of the REFERENCE-DECODED pixels (decode is
+            # deterministic), so the decode stage still verifies
+            # bit-exactly; pristine-pixel fidelity is the separate
+            # PSNR≥40dB contract (tests/test_codecs.py)
+            ph = int(phash64_i64(codecs.decode(data, fmt)))
+        else:
+            ph = int(phash64_i64(pixels))
     else:
         data = b"\x00" * 8  # I/O-light stub for join benchmarks (FIXTURES.md)
         ph = int(np.int64(np.uint64(_hash_u64(image_id, "ph"))))

@@ -72,6 +72,23 @@ def test_from_latlng_matches_oracle(random_latlng, leaf_ids):
     assert np.array_equal(leaf_ids[:2000], sca)
 
 
+def test_fused_kernel_bit_exact(random_latlng):
+    """from_latlng_fused (streaming where-chain + 64k cache blocks) must
+    be bit-identical to the unfused from_xyz(latlng_to_xyz(...)) path,
+    including across its internal chunk boundary."""
+    lat, lng = random_latlng
+    n = 70_000  # > one 65536-row internal block
+    lat = np.resize(lat, n)
+    lng = np.resize(lng, n)
+    want = vk.from_xyz(vk.latlng_to_xyz(lat, lng))
+    assert np.array_equal(vk.from_latlng_fused(lat, lng), want)
+    # poles, equator, face corners
+    lat2 = np.array([90.0, -90.0, 0.0, 45.0, -45.0, 35.26438968, -35.26438968, 0.0])
+    lng2 = np.array([0.0, 13.0, 45.0, 90.0, -135.0, 45.0, -45.0, 180.0])
+    assert np.array_equal(vk.from_latlng_fused(lat2, lng2),
+                          vk.from_xyz(vk.latlng_to_xyz(lat2, lng2)))
+
+
 def test_decode_encode_roundtrip(leaf_ids):
     f, i, j, _ = vk.to_face_ij_orientation(leaf_ids)
     assert np.array_equal(vk.from_face_ij(f, i, j), leaf_ids)

@@ -102,3 +102,35 @@ def test_synth_determinism():
     a = gen_image_row(123)
     b = gen_image_row(123)
     assert a == b
+
+
+def test_qdct_lossy_psnr_contract():
+    """The lossy qdct codec must land in 40 <= PSNR < inf on synth
+    pixels: genuinely lossy (not bit-exact) but within the decode
+    fidelity clause."""
+    for i in range(8):
+        px = gen_pixels(f"imgq{i}", [16, 32, 64, 60][i % 4], [32, 64, 24][i % 3])
+        data = codecs.encode_qdct(px)
+        back = codecs.decode_qdct(data)
+        assert back.shape == px.shape and back.dtype == np.uint8
+        p = codecs.psnr(px, back)
+        assert 40.0 <= p < float("inf"), p
+        assert (back != px).any()  # really lossy
+        # decode is deterministic (the phash-verify contract for lossy)
+        assert (codecs.decode_qdct(data) == back).all()
+
+
+def test_qdct_in_synth_rotation():
+    """Some synth rows use qdct, and their stored phash verifies
+    bit-exactly against the (deterministic) decode."""
+    rows = [gen_image_row(i) for i in range(40)]
+    qd = [r for r in rows if r["fmt"] == "qdct"]
+    assert qd, "rotation must include qdct"
+    for r in qd[:3]:
+        px = codecs.decode(r["bytes"], r["fmt"])
+        assert int(phash64_i64(px)) == r["phash"]
+        # and the decoded pixels are PSNR>=40 vs the pristine source
+        from s2geometry_ray.sources.synth import gen_pixels as gp
+
+        pristine = gp(r["image_id"], r["w"], r["h"])
+        assert codecs.psnr(pristine, px) >= 40.0
