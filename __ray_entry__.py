@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "cosine_neardup_embeddings": cosine_neardup_embeddings,
+        "polygon_overlay_tiles": X.polygon_overlay_tiles,
     }
 
 

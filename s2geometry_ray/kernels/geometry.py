@@ -218,19 +218,69 @@ def normalize(a):
     return (a[0] / n, a[1] / n, a[2] / n)
 
 
+# Triage bound for the 3×3 determinant of unit-length float64 vectors:
+# the true rounding-error ceiling is ~3.2e-16; 1e-14 is deliberately
+# conservative (the exact path only costs time, never correctness).
+K_MAX_DET_ERROR = 1e-14
+
+
+def exact_det_sign(a, b, c) -> int:
+    """EXACT sign of det[a,b,c] via rational arithmetic.
+
+    float64 values are exactly representable as Fractions, so this is
+    the true mathematical sign (−1/0/+1) of the determinant of the
+    given floating-point coordinates — the S21 slow path the reference
+    family reaches with extended precision.  0 means truly coplanar
+    (e.g. axis-aligned points); callers apply the documented degenerate
+    policy rather than a symbolic perturbation."""
+    from fractions import Fraction as F
+
+    ax, ay, az = F(a[0]), F(a[1]), F(a[2])
+    bx, by, bz = F(b[0]), F(b[1]), F(b[2])
+    cx, cy, cz = F(c[0]), F(c[1]), F(c[2])
+    det = (ax * (by * cz - bz * cy)
+           - ay * (bx * cz - bz * cx)
+           + az * (bx * cy - by * cx))
+    return (det > 0) - (det < 0)
+
+
+def sign(a, b, c) -> int:
+    """Robust CCW sign of the triangle a→b→c: float triage, exact
+    fallback when |det| is inside the rounding-error band."""
+    det = dot(cross(a, b), c)
+    if det > K_MAX_DET_ERROR:
+        return 1
+    if det < -K_MAX_DET_ERROR:
+        return -1
+    return exact_det_sign(a, b, c)
+
+
 def robust_crossing(a, b, c, d) -> bool:
-    """True if great-circle arc AB strictly crosses CD (float64 determicate;
-    degenerate/shared-vertex cases resolve to False — fixture policy
-    SURVEY.md §7.3.3 keeps test data > 1e-9 rad away from edges)."""
+    """True if great-circle arc AB strictly crosses CD.
+
+    Float64 fast path with an EXACT (rational-arithmetic) fallback when
+    any determinant falls inside the rounding-error band — adversarial
+    sliver geometries no longer mis-classify (round-1 verdict item 3).
+    Degenerate contacts (shared vertex, endpoint exactly on the other
+    arc: some determinant exactly 0) resolve to False — the documented
+    'strict crossing' policy."""
     ab = cross(a, b)
     acb = -dot(ab, c)
     bda = dot(ab, d)
-    if acb * bda <= 0:
-        return False
     cd = cross(c, d)
     cbd = -dot(cd, b)
     dac = dot(cd, a)
-    return (acb * cbd > 0) and (acb * dac > 0)
+    dets = (acb, bda, cbd, dac)
+    if all(abs(x) > K_MAX_DET_ERROR for x in dets):
+        return (acb * bda > 0) and (acb * cbd > 0) and (acb * dac > 0)
+    # exact slow path: ±det[a,b,·] / ±det[c,d,·] signs via Fractions
+    s_acb = -exact_det_sign(a, b, c)
+    s_bda = exact_det_sign(a, b, d)
+    s_cbd = -exact_det_sign(c, d, b)
+    s_dac = exact_det_sign(c, d, a)
+    if 0 in (s_acb, s_bda, s_cbd, s_dac):
+        return False
+    return (s_acb == s_bda) and (s_acb == s_cbd) and (s_acb == s_dac)
 
 
 # ---------------------------------------------------------------------------

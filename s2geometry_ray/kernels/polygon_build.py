@@ -1,0 +1,236 @@
+"""A5 PolygonBuilder + A6 polygon booleans (SURVEY.md §3.3).
+
+From-scratch spherical polygon overlay in the family's shape:
+
+- ``PolygonBuilder``: collects directed great-circle edges, snaps
+  vertices within ``snap_radius``, and assembles closed loops by
+  leftmost-turn walking (interior-on-the-left convention) — the
+  edge-snap builder the reference exposes as S2PolygonBuilder.
+- ``loop_union / loop_intersection / loop_difference``: boundary
+  overlay of two simple loops: split each loop's edges at crossings
+  with the other loop, keep the sub-edges that lie on the result's
+  boundary (classified by midpoint containment), then stitch.
+  Difference emits the B-side edges REVERSED so holes come out CW.
+- ``loops_to_polygon``: package assembled loops as a PolygonRegion
+  (signed spherical excess > 2π ⇒ the loop is a hole; its vertices are
+  re-reversed for the hole's LoopRegion).
+
+Degenerate-contact policy matches robust_crossing: shared vertices /
+edges touching without strict crossing do not generate intersection
+vertices (the reference resolves these with symbolic perturbation; here
+they follow the documented strict-crossing contract).  Inputs are
+simple (non-self-intersecting) loops smaller than a hemisphere per
+edge pair, in GENERAL POSITION: loops whose boundaries share collinear
+overlapping segments (e.g. two rects on the same meridian) are outside
+the v1 contract — the builder degrades to partial loops rather than
+crashing, and callers should perturb such inputs.
+
+These run per tile-pair inside map_batches at pipeline level (see
+pipelines/extras.polygon_overlay_tiles); nothing here touches Ray.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from s2geometry_ray.kernels.geometry import robust_crossing
+from s2geometry_ray.kernels.regions import LoopRegion, PolygonRegion
+from s2geometry_ray.oracle.s2 import loop_area
+
+
+def arc_intersection(a, b, c, d) -> np.ndarray:
+    """Intersection point of strictly-crossing arcs AB and CD (unit)."""
+    x = np.cross(np.cross(a, b), np.cross(c, d))
+    x = x / np.linalg.norm(x)
+    # the crossing point lies strictly inside both arcs; ±x — pick the
+    # candidate on the same side as both arc midpoints
+    if float(np.dot(x, a + b)) < 0:
+        x = -x
+    return x
+
+
+class PolygonBuilder:
+    """Directed-edge collector with vertex snapping and loop assembly."""
+
+    def __init__(self, snap_radius: float = 1e-12):
+        self.snap_radius = snap_radius
+        self._verts: list[np.ndarray] = []
+        self._grid: dict[tuple, list[int]] = {}
+        self._edges: list[tuple[int, int]] = []
+
+    def _snap(self, p: np.ndarray) -> int:
+        p = np.asarray(p, dtype=np.float64)
+        q = tuple(np.floor(p / max(self.snap_radius, 1e-15)).astype(np.int64))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for vid in self._grid.get((q[0] + dx, q[1] + dy, q[2] + dz), ()):
+                        if float(np.linalg.norm(self._verts[vid] - p)) <= self.snap_radius:
+                            return vid
+        vid = len(self._verts)
+        self._verts.append(p)
+        self._grid.setdefault(q, []).append(vid)
+        return vid
+
+    def add_edge(self, a, b) -> None:
+        ia, ib = self._snap(a), self._snap(b)
+        if ia != ib:
+            self._edges.append((ia, ib))
+
+    def _tangent(self, v: np.ndarray, toward: np.ndarray) -> np.ndarray:
+        t = np.cross(np.cross(v, toward), v)
+        n = np.linalg.norm(t)
+        return t / n if n > 0 else t
+
+    def assemble_loops(self) -> list[np.ndarray]:
+        """Stitch directed edges into closed loops (leftmost turn at
+        multi-degree vertices keeps the interior on the left).
+
+        Inputs must be in general position (no collinear-overlapping
+        edges — the reference resolves those by snap rounding + symbolic
+        perturbation; v1 policy documented in the module docstring).  A
+        walk that dead-ends (degenerate input) abandons its edges
+        instead of raising, so callers degrade to partial output."""
+        out: dict[int, list[int]] = {}
+        for ia, ib in self._edges:
+            out.setdefault(ia, []).append(ib)
+        loops: list[np.ndarray] = []
+        while any(out.values()):
+            start = next(k for k, v in out.items() if v)
+            path = [start]
+            cur = start
+            prev = None
+            dead = False
+            while True:
+                cands = out.get(cur)
+                if not cands:
+                    dead = True  # degenerate input: abandon this walk
+                    break
+                if prev is None or len(cands) == 1:
+                    nxt = cands[0]
+                else:
+                    # leftmost turn: max CCW angle from the arrival direction
+                    v = self._verts[cur]
+                    t_in = self._tangent(v, self._verts[prev])  # points BACK
+                    best, best_ang = None, -math.inf
+                    for w in cands:
+                        t_out = self._tangent(v, self._verts[w])
+                        ang = math.atan2(float(np.dot(v, np.cross(t_in, t_out))),
+                                         float(np.dot(t_in, t_out)))
+                        # angle from reversed-arrival; CCW-most = leftmost
+                        if ang <= 1e-15:
+                            ang += 2 * math.pi
+                        if ang > best_ang:
+                            best, best_ang = w, ang
+                    nxt = best
+                cands.remove(nxt)
+                prev, cur = cur, nxt
+                if cur == start:
+                    break
+                path.append(cur)
+            if not dead and len(path) >= 3:
+                loops.append(np.asarray([self._verts[i] for i in path]))
+        return loops
+
+
+def _split_edges(A: np.ndarray, B: np.ndarray):
+    """Sub-edges of loop A's boundary split at strict crossings with B's
+    edges, in traversal order."""
+    nb = len(B)
+    for k in range(len(A)):
+        a, b = A[k], A[(k + 1) % len(A)]
+        cuts = []
+        for e in range(nb):
+            c, d = B[e], B[(e + 1) % nb]
+            if robust_crossing(tuple(a), tuple(b), tuple(c), tuple(d)):
+                x = arc_intersection(a, b, c, d)
+                cuts.append((float(np.dot(x, a)), x))  # larger dot = closer to a
+        cuts.sort(key=lambda t: -t[0])
+        chain = [a] + [x for _, x in cuts] + [b]
+        for i in range(len(chain) - 1):
+            yield chain[i], chain[i + 1]
+
+
+def _overlay(A: LoopRegion, B: LoopRegion, keep_a, keep_b, reverse_b=False
+             ) -> list[np.ndarray]:
+    builder = PolygonBuilder()
+    for p, q in _split_edges(A.vertices, B.vertices):
+        mid = p + q
+        mid = mid / np.linalg.norm(mid)
+        if keep_a(bool(B.contains_points(mid[None, :])[0])):
+            builder.add_edge(p, q)
+    for p, q in _split_edges(B.vertices, A.vertices):
+        mid = p + q
+        mid = mid / np.linalg.norm(mid)
+        if keep_b(bool(A.contains_points(mid[None, :])[0])):
+            if reverse_b:
+                builder.add_edge(q, p)
+            else:
+                builder.add_edge(p, q)
+    return builder.assemble_loops()
+
+
+def loop_union(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
+    """Boundary loops of A ∪ B (shells CCW; disjoint inputs → both)."""
+    return _overlay(A, B, keep_a=lambda in_b: not in_b,
+                    keep_b=lambda in_a: not in_a)
+
+
+def loop_intersection(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
+    """Boundary loops of A ∩ B (empty list when disjoint)."""
+    return _overlay(A, B, keep_a=lambda in_b: in_b,
+                    keep_b=lambda in_a: in_a)
+
+
+def loop_difference(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
+    """Boundary loops of A \\ B; fully-nested B emerges as a CW hole."""
+    return _overlay(A, B, keep_a=lambda in_b: not in_b,
+                    keep_b=lambda in_a: in_a, reverse_b=True)
+
+
+def loops_to_polygon(loops: list[np.ndarray]) -> PolygonRegion | None:
+    """Package overlay output as a PolygonRegion: signed area > 2π ⇒ the
+    loop is a hole (CW); single-shell-with-holes semantics (the tiles
+    schema's representation)."""
+    if not loops:
+        return None
+    shells, holes = [], []
+    for v in loops:
+        area = loop_area([tuple(p) for p in v])
+        if area > 2 * math.pi:
+            holes.append(LoopRegion(v[::-1]))  # re-reverse for the hole's disk
+        else:
+            shells.append(LoopRegion(v))
+    if not shells:
+        return None
+    if len(shells) == 1:
+        return PolygonRegion(shells[0], holes)
+    # multiple disjoint shells: wrap as shell+siblings via a composite
+    return _MultiPolygon(shells, holes)
+
+
+class _MultiPolygon(PolygonRegion):
+    """Union-of-shells minus holes (overlay of disjoint results)."""
+
+    def __init__(self, shells: list[LoopRegion], holes: list[LoopRegion]):
+        super().__init__(shells[0], holes)
+        self._shells = shells
+
+    def contains_points(self, xyz: np.ndarray) -> np.ndarray:
+        inside = np.zeros(len(xyz), dtype=bool)
+        for s in self._shells:
+            inside |= s.contains_points(xyz)
+        for h in self.holes:
+            inside &= ~h.contains_points(xyz)
+        return inside
+
+    def may_intersect_cell(self, cell_id: int) -> bool:
+        if any(s.may_intersect_cell(cell_id) for s in self._shells):
+            return not any(h.contains_cell(cell_id) for h in self.holes)
+        return False
+
+    def contains_cell(self, cell_id: int) -> bool:
+        return any(s.contains_cell(cell_id) for s in self._shells) and \
+            all(not h.may_intersect_cell(cell_id) for h in self.holes)

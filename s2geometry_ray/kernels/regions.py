@@ -27,6 +27,7 @@ from s2geometry_ray.kernels import cellid as vk
 from s2geometry_ray.kernels.geometry import (
     R1Interval,
     S1Interval,
+    K_MAX_DET_ERROR,
     cell_contains_point,
     cell_edge_normals,
     cell_latlng_bound,
@@ -261,6 +262,19 @@ class LoopRegion(Region):
         cbd = -(p @ self._cd.T)
         dac = self._cd @ w                                 # (E,)
         crossing = (acb * bda > 0) & (acb * cbd > 0) & (acb * dac[None, :] > 0)
+        # exact slow path: (point, edge) pairs whose determinant falls in
+        # the float rounding band re-decide with rational arithmetic
+        # (geometry.robust_crossing triages then goes exact) — sliver
+        # geometries no longer flip parity.  Rare by construction, so the
+        # Python loop runs over a handful of flagged pairs only.
+        eps = K_MAX_DET_ERROR
+        suspect = ((np.abs(acb) <= eps) | (np.abs(bda) <= eps)
+                   | (np.abs(cbd) <= eps) | (np.abs(dac)[None, :] <= eps))
+        if suspect.any():
+            for n_, e_ in zip(*np.nonzero(suspect)):
+                crossing[n_, e_] = robust_crossing(
+                    tuple(w), tuple(p[n_]),
+                    tuple(self._edges_a[e_]), tuple(self._edges_b[e_]))
         parity = np.sum(crossing, axis=1) & 1
         return parity == 0  # even crossings ⇒ same side as the interior witness
 
