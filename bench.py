@@ -144,8 +144,14 @@ def bench_dedup_minhash(sf_dir: str, scale: int = 1) -> dict:
             return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
                              "text": pa.array(out_txt)})
 
-        docs = docs.map_batches(replicate, batch_format="pyarrow")
-    return {"rows_out": minhash_candidate_pairs(docs, concurrency=_pool()).count()}
+        # documents.parquet is a single row group → one block; split it
+        # so the signature actor pool actually runs in parallel
+        docs = docs.map_batches(replicate, batch_format="pyarrow") \
+                   .repartition(4 * _pool())
+    # scheme='oph': the scale path (one-permutation hashing; see
+    # functions/dedup.MinHasher).  BASELINE.md records both schemes.
+    return {"rows_out": minhash_candidate_pairs(docs, concurrency=_pool(),
+                                                scheme="oph").count()}
 
 
 def bench_decode(sf_dir: str, scale: int = 1) -> dict:

@@ -99,7 +99,10 @@ def _hash64(arr: np.ndarray) -> np.ndarray:
 def add_salt(ds, key_col: str, salt_per_key: dict, row_key_col: str,
              salt_col: str = "salt"):
     """Append a bounded salt column: hash64(row_key) % S(key), S from a
-    count sketch (1 for cold keys)."""
+    count sketch (1 for cold keys).  Hot-key lookup is a vectorized
+    searchsorted over the (sorted) hot-key array — no per-row dict."""
+    hot_keys = np.sort(np.array(list(salt_per_key), dtype=np.int64))
+    hot_s = np.array([salt_per_key[k] for k in hot_keys.tolist()], dtype=np.uint64)
 
     def _fn(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy(zero_copy_only=False)
@@ -108,8 +111,12 @@ def add_salt(ds, key_col: str, salt_per_key: dict, row_key_col: str,
             # ships uint64 keys as int64 bit-views — match that here or
             # hot-key lookups silently miss.
             keys = keys.view(np.int64)
-        svals = np.array([salt_per_key.get(k, 1) for k in keys.tolist()],
-                         dtype=np.uint64)
+        svals = np.ones(len(keys), dtype=np.uint64)
+        if hot_keys.size:
+            idx = np.searchsorted(hot_keys, keys)
+            idx_c = np.minimum(idx, hot_keys.size - 1)
+            hit = hot_keys[idx_c] == keys
+            svals[hit] = hot_s[idx_c[hit]]
         h = _hash64(batch[row_key_col].to_numpy(zero_copy_only=False))
         return batch.append_column(salt_col, pa.array((h % svals).astype(np.int64)))
 

@@ -192,6 +192,49 @@ def test_minhash_bulk_matches_scalar():
         assert (bulk[i] == mh.signature(t)).all(), f"doc {i} ({t!r}) differs"
 
 
+def test_minhash_oph_scheme():
+    """OPH signatures: deterministic, identical docs → identical sigs,
+    near-dups mostly agree, scalar wrapper == bulk, densification fills
+    every bin."""
+    from s2geometry_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(scheme="oph")
+    texts = ["the quick brown fox jumps over the lazy dog " * 6,
+             "the quick brown fox jumps over the lazy dog " * 6,
+             "the quick brown fox jumps over the sleepy dog " * 6,
+             "completely different text about ray data pipelines " * 6,
+             "x",  # shorter than shingle width → padded single shingle
+             ""]
+    sigs = mh.signatures_bulk(pa.array(texts))
+    assert (sigs[0] == sigs[1]).all()  # identical docs
+    near = np.mean(sigs[0] == sigs[2])
+    far = np.mean(sigs[0] == sigs[3])
+    assert near > 0.5 and far < near
+    assert (sigs != np.uint64(0xFFFFFFFFFFFFFFFF)).all()  # densified
+    for i in (0, 3, 4, 5):
+        assert (mh.signature(texts[i]) == sigs[i]).all()
+
+
+def test_minhash_oph_finds_planted_duplicates(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import minhash_candidate_pairs
+
+    rng = np.random.default_rng(9)
+    words = [f"w{k}" for k in range(300)]
+    base = [" ".join(rng.choice(words, 60)) for _ in range(80)]
+    texts = base + [t + " tail" for t in base[:20]]  # 20 planted near-dups
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    pairs = minhash_candidate_pairs(ds, concurrency=2, scheme="oph").to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    planted = {(i, 80 + i) for i in range(20)}
+    recall = len(found & planted) / 20
+    assert recall >= 0.9, recall
+
+
 def test_simhash_bulk_consistency():
     """Bulk simhash over a column equals the per-text wrapper, and docs
     with shared token multisets hash closer than unrelated docs."""
