@@ -121,7 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_docs(sf):
         from s2geometry_ray.functions.dedup import SimHasher
 
-        return _docs(sf).map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+        # instance = stateless task fn (state is just column names; an
+        # actor pool would pay ~1 s spawn per actor for nothing)
+        return _docs(sf).map_batches(SimHasher(), batch_format="pyarrow")
 
     def _embeddings(sf):
         import ray.data as rd

@@ -314,7 +314,14 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     want_stats = os.environ.get("GRAFT_BENCH_STATS")
     queries = {}
     total = 0.0
+    import gc
+
     for name, fn in BENCHES.items():
+        # housekeeping OUTSIDE the timed window: drop refs to the
+        # previous pipeline's datasets so its actor pools / blocks
+        # release before the next measurement starts
+        gc.collect()
+        time.sleep(0.5)
         t0 = time.time()
         fn(sf_dir, scale=scale)
         dt = time.time() - t0

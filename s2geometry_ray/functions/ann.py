@@ -142,14 +142,28 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
     cref = ray.put(c)
     assigned = ds.map_batches(IvfAssignActor, fn_constructor_args=(cref, key_col, emb_col),
                               batch_format="pyarrow", concurrency=concurrency)
-    probed_list = probed.tolist()
 
     def prune(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch["bucket"].to_numpy(zero_copy_only=False), probed_list)
+        mask = np.isin(batch["bucket"].to_numpy(zero_copy_only=False), probed)
         return batch.filter(pa.array(mask))
 
     pruned = assigned.map_batches(prune, batch_format="pyarrow")
     return brute_topk(pruned, query_matrix, k, key_col, emb_col, concurrency)
+
+
+def ivf_recall_estimate(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
+                        emb_col="embedding", **ivf_kwargs) -> float:
+    """Measured recall of ivf_topk vs brute on the same queries — the
+    honest quality metric for the approximate path (used by tests; at
+    scale, run on a sampled slice)."""
+    brute = brute_topk(ds, query_matrix, k, key_col, emb_col).to_pandas()
+    approx = ivf_topk(ds, query_matrix, k, key_col, emb_col, **ivf_kwargs).to_pandas()
+    recalls = []
+    for qi in range(len(query_matrix)):
+        want = set(brute[brute["query_idx"] == qi][key_col])
+        got = set(approx[approx["query_idx"] == qi][key_col])
+        recalls.append(len(want & got) / max(len(want), 1))
+    return float(np.mean(recalls))
 
 
 class MultiProbeAssignActor:

@@ -222,11 +222,15 @@ def encode_qdct(pixels: np.ndarray, quality: int = 96) -> bytes:
                ((0, ph), (0, pw), (0, 0)), mode="edge")
     hh, ww = h + ph, w + pw
     blocks = x.reshape(hh // 8, 8, ww // 8, 8, 3).transpose(0, 2, 4, 1, 3)
-    coeff = np.einsum("ij,brcjk,lk->brcil", _DCT8, blocks, _DCT8, optimize=True)
+    # D @ B @ D.T via broadcast matmul (einsum's per-call path search is
+    # ~0.5 ms — dominates for small images)
+    coeff = _DCT8 @ blocks @ _DCT8.T
     q = np.round(coeff / _qdct_table(quality)).astype(np.int16)
     header = _QDCT_MAGIC + np.array([w, h], dtype="<u4").tobytes() \
         + np.array([quality], dtype="<u2").tobytes()
-    return header + zlib.compress(q.tobytes(), level=6)
+    # level 1: int16 DCT coefficients barely benefit from deeper search
+    # (measured 1.75 ms → 0.31 ms per 64² image for ~5% size)
+    return header + zlib.compress(q.tobytes(), level=1)
 
 
 def decode_qdct(data: bytes) -> np.ndarray:
@@ -237,7 +241,7 @@ def decode_qdct(data: bytes) -> np.ndarray:
     q = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
     q = q.reshape(hh // 8, ww // 8, 3, 8, 8).astype(np.float64)
     coeff = q * _qdct_table(quality)
-    blocks = np.einsum("ji,brcjk,kl->brcil", _DCT8, coeff, _DCT8, optimize=True)
+    blocks = _DCT8.T @ coeff @ _DCT8
     x = blocks.transpose(0, 3, 1, 4, 2).reshape(hh, ww, 3)
     return np.clip(np.round(x + 128.0), 0, 255).astype(np.uint8)[:h, :w]
 
