@@ -1,0 +1,88 @@
+"""IndexedLoop (ShapeIndex-style edge index) must agree exactly with
+the direct O(N·V) LoopRegion parity on every point class, and beat it
+on large loops."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from s2geometry_ray.kernels.edge_index import IndexedLoop
+from s2geometry_ray.kernels.regions import LoopRegion
+
+
+def _star_loop(n_vertices: int, lat0=20.0, lng0=30.0, r_out=8.0, r_in=5.0):
+    """A spiky star polygon with many vertices (boundary-heavy)."""
+    ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
+    r = np.where(np.arange(n_vertices) % 2 == 0, r_out, r_in)
+    lat = lat0 + r * np.sin(ang)
+    lng = lng0 + r * np.cos(ang) / np.cos(np.radians(lat0))
+    return LoopRegion.from_latlng_degrees(list(zip(lat, lng)))
+
+
+def _sample_points(rng, n, lat0=20.0, lng0=30.0, spread=15.0):
+    lat = lat0 + rng.uniform(-spread, spread, n)
+    lng = lng0 + rng.uniform(-spread, spread, n)
+    phi, th = np.radians(lat), np.radians(lng)
+    return np.stack([np.cos(phi) * np.cos(th), np.cos(phi) * np.sin(th),
+                     np.sin(phi)], axis=1)
+
+
+@pytest.mark.parametrize("nv", [8, 64, 512])
+def test_indexed_loop_matches_direct(nv):
+    rng = np.random.default_rng(nv)
+    loop = _star_loop(nv)
+    idx = IndexedLoop(loop)
+    pts = _sample_points(rng, 3000)
+    assert (idx.contains_points(pts) == loop.contains_points(pts)).all()
+
+
+def test_indexed_loop_far_points_and_square():
+    rng = np.random.default_rng(1)
+    loop = LoopRegion.from_latlng_degrees(
+        [(10.0, 10.0), (10.0, 20.0), (20.0, 20.0), (20.0, 10.0)])
+    idx = IndexedLoop(loop)  # long edges → sampled covering path
+    # global scatter incl. far-away points (empty-cell fallback path)
+    lat = rng.uniform(-80, 80, 4000)
+    lng = rng.uniform(-180, 180, 4000)
+    phi, th = np.radians(lat), np.radians(lng)
+    pts = np.stack([np.cos(phi) * np.cos(th), np.cos(phi) * np.sin(th),
+                    np.sin(phi)], axis=1)
+    assert (idx.contains_points(pts) == loop.contains_points(pts)).all()
+
+
+def test_indexed_loop_near_edge_points():
+    loop = _star_loop(128)
+    idx = IndexedLoop(loop)
+    rng = np.random.default_rng(7)
+    v = loop.vertices
+    pts = []
+    for _ in range(500):
+        e = rng.integers(0, len(v))
+        t = rng.uniform(0.05, 0.95)
+        base = v[e] * (1 - t) + v[(e + 1) % len(v)] * t
+        base /= np.linalg.norm(base)
+        n = np.cross(v[e], v[(e + 1) % len(v)])
+        n /= np.linalg.norm(n)
+        p = base + rng.choice([-1, 1]) * 10.0 ** rng.uniform(-8, -4) * n
+        pts.append(p / np.linalg.norm(p))
+    pts = np.asarray(pts)
+    assert (idx.contains_points(pts) == loop.contains_points(pts)).all()
+
+
+def test_indexed_loop_is_faster_on_large_loops():
+    loop = _star_loop(4096)
+    idx = IndexedLoop(loop)
+    rng = np.random.default_rng(3)
+    pts = _sample_points(rng, 2000, spread=10.0)
+    t0 = time.perf_counter()
+    direct = loop.contains_points(pts)
+    t_direct = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fast = idx.contains_points(pts)
+    t_fast = time.perf_counter() - t0
+    assert (fast == direct).all()
+    # O(N·V) direct pays 4096 edges/point; the index touches a handful
+    assert t_fast < t_direct, (t_fast, t_direct)
