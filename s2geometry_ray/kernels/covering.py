@@ -137,12 +137,17 @@ def get_interior_covering(
     max_cells: int = 8,
     min_level: int = 0,
     max_level: int = 30,
+    level_mod: int = 1,
 ) -> list[int]:
     """Cells provably inside the region (⊆ region); may be empty.
 
     Best-first: candidates pop shallowest-first so the budget is spent
     on the LARGEST provably-interior cells (a DFS budget would burn
-    max_cells on deep cells in one corner)."""
+    max_cells on deep cells in one corner).  ``level_mod`` restricts
+    emitted cells to the (min_level + k·level_mod) grid, mirroring the
+    exterior coverer's semantics."""
+    if level_mod not in (1, 2, 3):
+        raise ValueError("level_mod must be 1, 2 or 3")
     result: list[int] = []
     pq: list = []
     counter = itertools.count()
@@ -155,12 +160,24 @@ def get_interior_covering(
         push((face << 61) | (1 << 60))
     while pq and len(result) < max_cells:
         lvl, _, cell_id = heapq.heappop(pq)
-        if lvl >= min_level and region.contains_cell(cell_id):
+        on_grid = lvl >= min_level and (lvl - min_level) % level_mod == 0
+        if on_grid and region.contains_cell(cell_id):
             result.append(cell_id)
         elif lvl < max_level:
             for ch in _s2.children(cell_id):
                 push(ch)
-    return normalize_cell_union(result)
+    if level_mod == 1:
+        return normalize_cell_union(result)
+    ids = sorted(result)
+    out: list[int] = []
+    for cid in ids:
+        if out and _s2.range_min(out[-1]) <= cid <= _s2.range_max(out[-1]):
+            continue
+        cmin = _s2.range_min(cid)
+        while out and cmin <= out[-1] <= _s2.range_max(cid):
+            out.pop()
+        out.append(cid)
+    return out
 
 
 def normalize_cell_union(cell_ids) -> list[int]:

@@ -71,3 +71,46 @@ def test_st_uv_bijection(s):
     assert -1.0 <= u <= 1.0
     assert abs(o.uv_to_st(u) - s) < 1e-14
     assert float(vk.st_to_uv(np.array([s]))[0]) == u
+
+
+# --- polygon boolean properties (round 2) ---------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(-30, 30), st.floats(-60, 60), st.floats(4, 14),
+       st.floats(-8, 8), st.floats(-8, 8), st.integers(0, 2**32 - 1))
+def test_polygon_boolean_membership_property(lat0, lng0, size, dlat, dlng, seed):
+    """Union/intersection membership equals the boolean of input
+    memberships for random overlapping convex quads (sampled points a
+    safe distance from both boundaries)."""
+    from s2geometry_ray.kernels.polygon_build import (
+        loop_intersection, loop_union, loops_to_polygon)
+    from s2geometry_ray.kernels.regions import LoopRegion
+
+    def quad(la, ln, s):
+        return LoopRegion.from_latlng_degrees(
+            [(la, ln), (la, ln + s), (la + s, ln + s), (la + s, ln)])
+
+    A = quad(lat0, lng0, size)
+    B = quad(lat0 + dlat + 0.37, lng0 + dlng + 0.73, size * 0.9)
+    rng = np.random.default_rng(seed)
+    lat = lat0 + rng.uniform(-1.5, 1.5, 600) * size
+    lng = lng0 + rng.uniform(-1.5, 1.5, 600) * size
+    phi, th = np.radians(lat), np.radians(lng)
+    pts = np.stack([np.cos(phi) * np.cos(th), np.cos(phi) * np.sin(th),
+                    np.sin(phi)], axis=1)
+    margin = np.ones(len(pts), dtype=bool)
+    for loop in (A, B):
+        v = loop.vertices
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            n = n / np.linalg.norm(n)
+            margin &= np.abs(pts @ n) > 5e-4
+    ina, inb = A.contains_points(pts), B.contains_points(pts)
+    for fn, op in ((loop_union, np.logical_or),
+                   (loop_intersection, np.logical_and)):
+        res = loops_to_polygon(fn(A, B))
+        got = (np.zeros(len(pts), dtype=bool) if res is None
+               else res.contains_points(pts))
+        want = op(ina, inb)
+        assert (got[margin] == want[margin]).all()

@@ -74,6 +74,19 @@ def test_interior_covering_subset_of_region(name, region, rng):
         assert region.contains_points(pts).all(), f"{name}: interior cell {o.token(c)} leaks"
 
 
+def test_interior_covering_level_mod():
+    region = CapRegion.from_latlng_radius(12.0, 77.0, 0.05)
+    for lm in (2, 3):
+        icov = get_interior_covering(region, max_cells=24, min_level=4,
+                                     max_level=16, level_mod=lm)
+        assert icov, "cap is large enough to admit interior cells"
+        for c in icov:
+            lvl = o.level(c)
+            assert lvl >= 4 and (lvl - 4) % lm == 0
+            pts = np.asarray(o.cell_vertices(c) + [o.to_point(c)])
+            assert region.contains_points(pts).all()
+
+
 def test_normalize_merges_siblings():
     cid = o.parent(o.from_lat_lng(10.0, 10.0), 8)
     kids = o.children(cid)
