@@ -118,6 +118,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return minhash_candidate_pairs(_docs(sf))
 
+    def dedup_components_docs(sf):
+        """Dedup CLUSTERING: connected components over the union of
+        text-equal and prefix16-equal star-edge graphs → (doc_id, rep =
+        min doc in component).  SQL-checkable: both edge relations are
+        expressible in DuckDB, and the oracle walks them with a
+        recursive CTE — an exact check of the distributed min-label
+        propagation."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from s2geometry_ray.functions.dedup import (
+            connected_components, group_star_edges)
+        from s2geometry_ray.functions.text import fingerprint_batch
+
+        def fp_full(t: pa.Table) -> pa.Table:
+            return fingerprint_batch(t, "text")
+
+        def fp_prefix(t: pa.Table) -> pa.Table:
+            pref = pc.utf8_slice_codeunits(
+                pc.cast(t["text"], pa.string()), 0, 16)
+            return fingerprint_batch(
+                pa.table({"doc_id": t["doc_id"], "text": pref}), "text")
+
+        docs = _docs(sf)
+        e1 = group_star_edges(docs.map_batches(fp_full, batch_format="pyarrow"),
+                              "fp64")
+        e2 = group_star_edges(docs.map_batches(fp_prefix, batch_format="pyarrow"),
+                              "fp64")
+        comp = connected_components(e1.union(e2),
+                                    docs.select_columns(["doc_id"]))
+        return comp
+
     def simhash_docs(sf):
         from s2geometry_ray.functions.dedup import SimHasher
 
@@ -220,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "lang_id_docs": lang_id_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
+        "dedup_components_docs": dedup_components_docs,
         "simhash_docs": simhash_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_topk_embeddings": ivf_topk_embeddings,
@@ -283,6 +316,26 @@ FROM (SELECT qid, vec_id,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       FROM d)
 WHERE rn <= 20
+""",
+        "dedup_components_docs": """
+WITH RECURSIVE
+e1 AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b
+       FROM documents a JOIN documents b
+         ON a.text = b.text AND a.doc_id < b.doc_id),
+e2 AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b
+       FROM documents a JOIN documents b
+         ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        AND a.doc_id < b.doc_id),
+edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+sym AS (SELECT key_a AS u, key_b AS v FROM edges
+        UNION ALL SELECT key_b, key_a FROM edges),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS rep
+FROM reach GROUP BY node
 """,
         "cosine_neardup_embeddings": """
 WITH all_vecs AS (

@@ -464,3 +464,126 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     # vectorized popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over candidate-pair graphs
+# ---------------------------------------------------------------------------
+
+
+def group_star_edges(ds, group_col: str, key_col: str = "doc_id"):
+    """(min key in group → other keys) star edges from a grouping column
+    — O(n) edges per group (NOT all-pairs), sufficient for connected
+    components.  Hash-partitioned by group, vectorized per partition."""
+    num_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        if g.dtype == np.uint64:
+            g = g.view(np.int64)
+        return t.append_column("part", pa.array(
+            (g.astype(np.uint64) % np.uint64(num_parts)).astype(np.int64)))
+
+    def star(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, key_col], kind="mergesort")
+        g = df[group_col].to_numpy()
+        k = df[key_col].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        rep = k[np.nonzero(new)[0]]
+        rep_full = np.repeat(rep, np.diff(np.append(np.nonzero(new)[0], len(k))))
+        keep = rep_full != k
+        return pd.DataFrame({"key_a": rep_full[keep], "key_b": k[keep]})
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(star, batch_format="pandas"))
+
+
+def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
+                         max_rounds: int = 50, num_parts: int = 32):
+    """Distributed connected components by min-label propagation,
+    JOIN-FREE: each round co-locates every node's label row with its
+    out-edges via ONE hash-partitioned groupby (label-carrier rows mixed
+    into the edge stream, the same partition trick as the LSH pair
+    stage), ships the label across each edge, then takes the min per
+    node with a second partitioned groupby.  The loop stops at fixpoint
+    (sum of labels strictly decreases until convergence — one cheap
+    aggregate per round); rounds needed = graph diameter (dup clusters
+    are near-cliques → 2-3 in practice; the tests include a diameter-9
+    chain).  Returns (key_col, rep) with rep = min key in the component.
+
+    Note: node/edge keys must be ≥ 0 (dst = -1 marks label-carrier
+    rows).  A plain Dataset.join formulation hit a Ray 2.49 hash-join
+    field-resolution bug when re-joined in a loop; the groupby
+    formulation is also one less shuffle per round."""
+    from ray.data.aggregate import Sum
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["key_a"].to_numpy(zero_copy_only=False)
+        b = t["key_b"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        return pa.table({
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "label": pa.array(np.full(src.size, -1, dtype=np.int64)),
+            "part": pa.array((src % num_parts).astype(np.int64)),
+        })
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(n, type=pa.int64()),
+                         "label": pa.array(n, type=pa.int64())})
+
+    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow")
+
+    def as_carrier(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(n, type=pa.int64()),
+            "dst": pa.array(np.full(n.size, -1, dtype=np.int64)),
+            "label": t["label"],
+            "part": pa.array((n % num_parts).astype(np.int64)),
+        })
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"], kind="mergesort")  # dst=-1 first
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        lbl = df["label"].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(df)))
+        # each src group leads with its single label-carrier row
+        src_label = np.repeat(lbl[starts], counts)
+        out_node = np.where(dst >= 0, dst, src)
+        return pd.DataFrame({"node": out_node, "label": src_label,
+                             "part": out_node % num_parts})
+
+    def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "label"], kind="mergesort")
+        node = df["node"].to_numpy()
+        keep = np.empty(len(df), dtype=bool)
+        keep[0] = True
+        keep[1:] = node[1:] != node[:-1]
+        return df.loc[keep, ["node", "label"]]
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = labels.materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+        carriers = labels.map_batches(as_carrier, batch_format="pyarrow")
+        msgs = edges.union(carriers).groupby("part").map_groups(
+            propagate, batch_format="pandas")
+        labels = msgs.groupby("part").map_groups(
+            min_per_node, batch_format="pandas")
+    return labels.map_batches(
+        lambda t: pa.table({key_col: t["node"], "rep": t["label"]}),
+        batch_format="pyarrow")

@@ -192,6 +192,45 @@ def test_minhash_bulk_matches_scalar():
         assert (bulk[i] == mh.signature(t)).all(), f"doc {i} ({t!r}) differs"
 
 
+def test_connected_components_chain(ray_session):
+    """Min-label propagation must converge on a long CHAIN (worst-case
+    diameter), star edges, and singletons."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import connected_components
+
+    # chain 0-1-2-...-9 (diameter 9), star 20<-{21,22,23}, singletons 30,31
+    ea = list(range(9)) + [20, 20, 20]
+    eb = list(range(1, 10)) + [21, 22, 23]
+    edges = rd.from_arrow(pa.table({
+        "key_a": pa.array(ea, type=pa.int64()),
+        "key_b": pa.array(eb, type=pa.int64()),
+    }))
+    nodes = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)) + [20, 21, 22, 23, 30, 31],
+                           type=pa.int64()),
+    }))
+    out = connected_components(edges, nodes).to_pandas()
+    rep = dict(zip(out["doc_id"], out["rep"]))
+    assert all(rep[i] == 0 for i in range(10))
+    assert all(rep[i] == 20 for i in (20, 21, 22, 23))
+    assert rep[30] == 30 and rep[31] == 31
+
+
+def test_group_star_edges(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import group_star_edges
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9, 7, 1], type=pa.int64()),
+        "fp64": pa.array([10, 10, 10, 20, 30], type=pa.int64()),
+    }))
+    edges = group_star_edges(ds, "fp64").to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(edges["key_a"], edges["key_b"])}
+    assert got == {(3, 5), (3, 9)}  # min of group 10 links the others
+
+
 def test_minhash_oph_scheme():
     """OPH signatures: deterministic, identical docs → identical sigs,
     near-dups mostly agree, scalar wrapper == bulk, densification fills
