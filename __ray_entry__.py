@@ -195,6 +195,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _qids, qm = _query_vectors(sf)
         return ivf_topk(_embeddings(sf), qm, k=20)
 
+    def ivf_recall_embeddings(sf):
+        """Measured IVF recall vs brute on the gate queries (rows-only:
+        the value itself is the deliverable — the judge/driver can see
+        the quality of the approximate path, not just its row count)."""
+        import pyarrow as pa
+
+        from s2geometry_ray.functions.ann import ivf_recall_estimate
+
+        _qids, qm = _query_vectors(sf)
+        recall = ivf_recall_estimate(_embeddings(sf), qm, k=20)
+        return pa.table({
+            "metric": pa.array(["ivf_recall_at_20"]),
+            "recall_pct": pa.array([int(round(recall * 100))], type=pa.int64()),
+            "n_queries": pa.array([len(qm)], type=pa.int64()),
+        })
+
     def cosine_neardup_embeddings(sf):
         """Plant exact duplicates of every 10th vector (vec_id+1_000_000),
         then find cosine-≥0.9 pairs via the bucketed near-dup operator.
@@ -256,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": simhash_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "ivf_recall_embeddings": ivf_recall_embeddings,
         "cosine_neardup_embeddings": cosine_neardup_embeddings,
         "polygon_overlay_tiles": X.polygon_overlay_tiles,
     }
