@@ -195,6 +195,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _qids, qm = _query_vectors(sf)
         return ivf_topk(_embeddings(sf), qm, k=20)
 
+    def audio_features_av(sf):
+        """Multimodal audio: synthetic WAV/PCM16 table → actor-pool
+        decode + integer feature extraction with bit-exact rms verify
+        (rows-only: the WAV codec + features are pytest-pinned)."""
+        del sf
+        from s2geometry_ray.sources.synth_av import audio_dataset
+        from s2geometry_ray.stages.decode import audio_feature_stage
+
+        return audio_feature_stage(audio_dataset(400), concurrency=2)
+
+    def video_frame_sample_av(sf):
+        """Multimodal video: VID1 frame container → actor-pool
+        frame-sampling (only sampled frames decode) + thumbnail resize +
+        per-frame phash with bit-exact frame-0 verify (rows-only)."""
+        del sf
+        from s2geometry_ray.sources.synth_av import video_dataset
+        from s2geometry_ray.stages.decode import video_sample_stage
+
+        return video_sample_stage(video_dataset(120), every=4, concurrency=2)
+
     def ivf_recall_embeddings(sf):
         """Measured IVF recall vs brute on the gate queries (rows-only:
         the value itself is the deliverable — the judge/driver can see
@@ -273,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "ivf_recall_embeddings": ivf_recall_embeddings,
+        "audio_features_av": audio_features_av,
+        "video_frame_sample_av": video_frame_sample_av,
         "cosine_neardup_embeddings": cosine_neardup_embeddings,
         "polygon_overlay_tiles": X.polygon_overlay_tiles,
     }

@@ -92,3 +92,94 @@ def decode_stage(ds, concurrency: int = 4, batch_size: int = 128,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class AudioFeatureActor:
+    """Actor-pool audio decode + feature extraction: WAV bytes → integer
+    features, verified against the stamped ``rms`` (the bit-exact decode
+    invariant, audio flavor).  Same shape as DecodeActor: codec state in
+    ``__init__``, vector of compact features out, payloads never leave
+    the stage."""
+
+    def __init__(self, verify_rms: bool = True):
+        from s2geometry_ray.kernels import av
+
+        self.av = av
+        self.verify_rms = verify_rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        stored = batch["rms"].to_numpy(zero_copy_only=False)
+        n = len(data)
+        dur = np.empty(n, dtype=np.int64)
+        rms = np.empty(n, dtype=np.int64)
+        zc = np.empty(n, dtype=np.int64)
+        cen = np.empty(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            pcm, rate = self.av.decode_wav(data[i])
+            f = self.av.audio_features(pcm, rate)
+            dur[i], rms[i] = f["duration_ms"], f["rms"]
+            zc[i], cen[i] = f["zero_crossings"], f["centroid_hz"]
+            ok[i] = (not self.verify_rms) or f["rms"] == stored[i]
+        return pa.table({
+            "audio_id": batch["audio_id"],
+            "caption": batch["caption"],
+            "duration_ms": pa.array(dur),
+            "rms": pa.array(rms),
+            "zero_crossings": pa.array(zc),
+            "centroid_hz": pa.array(cen),
+            "rms_ok": pa.array(ok),
+        })
+
+
+class VideoSampleActor:
+    """Actor-pool frame sampling: VID1 bytes → one row per SAMPLED frame
+    with resized-thumbnail features + phash; frame 0's phash verifies
+    bit-exactly against the stamped ``phash0``.  Non-sampled frames'
+    payloads are never decoded (length-prefix byte-range walk)."""
+
+    def __init__(self, every: int = 4, thumb: int = 8):
+        from s2geometry_ray.kernels import av
+
+        self.av = av
+        self.every = every
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from s2geometry_ray.kernels.phash import phash64_i64
+
+        data = batch["bytes"].to_pylist()
+        vids = batch["video_id"].to_pylist()
+        stored = batch["phash0"].to_numpy(zero_copy_only=False)
+        out_vid, out_frame, out_ph, out_mean, out_ok = [], [], [], [], []
+        for i in range(len(data)):
+            for fi, px in self.av.sample_frames(data[i], self.every):
+                th = self.av.resize_area(px, self.thumb, self.thumb)
+                ph = int(phash64_i64(px))
+                out_vid.append(vids[i])
+                out_frame.append(fi)
+                out_ph.append(ph)
+                out_mean.append(int(th.astype(np.int64).mean()))
+                out_ok.append(fi != 0 or ph == int(stored[i]))
+        return pa.table({
+            "video_id": pa.array(out_vid, type=pa.string()),
+            "frame_idx": pa.array(out_frame, type=pa.int64()),
+            "phash": pa.array(out_ph, type=pa.int64()),
+            "thumb_mean": pa.array(out_mean, type=pa.int64()),
+            "phash0_ok": pa.array(out_ok, type=pa.bool_()),
+        })
+
+
+def audio_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
+    return ds.map_batches(AudioFeatureActor, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
+def video_sample_stage(ds, every: int = 4, concurrency: int = 4,
+                       batch_size: int = 64):
+    return ds.map_batches(VideoSampleActor,
+                          fn_constructor_kwargs=dict(every=every),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
