@@ -150,6 +150,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     docs.select_columns(["doc_id"]))
         return comp
 
+    def simhash_pairs_docs(sf):
+        """EXACT hamming<=3 near-dup pairs via multi-index banding
+        (rows-only; exactness vs brute is pytest-pinned)."""
+        from s2geometry_ray.functions.dedup import simhash_candidate_pairs
+
+        return simhash_candidate_pairs(_docs(sf), r=3)
+
     def simhash_docs(sf):
         from s2geometry_ray.functions.dedup import SimHasher
 
@@ -290,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": minhash_pairs_docs,
         "dedup_components_docs": dedup_components_docs,
         "simhash_docs": simhash_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "ivf_recall_embeddings": ivf_recall_embeddings,

@@ -297,13 +297,19 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, text_col="text",
 
     band_rows = ds.map_batches(band_fn, batch_format="pyarrow")
     del concurrency  # kept for API compatibility; band stage is stateless
+    return band_candidate_pairs(band_rows, key_col)
 
-    # Partition by band-hash prefix (few, large groups) and pair WITHIN a
-    # partition using vectorized run detection — one pandas/numpy call per
-    # partition instead of one map_groups call per bucket (640k buckets ⇒
-    # minutes of per-group overhead, measured).
-    num_parts = 32
-    max_bucket = 256  # degenerate buckets (constant bands) are truncated
+
+def band_candidate_pairs(band_rows, key_col: str, num_parts: int = 32,
+                         max_bucket: int = 256):
+    """(key, band_id, band_hash) rows → distinct candidate pairs
+    (key_a < key_b): the shared LSH pairing machinery (MinHash bands,
+    SimHash multi-index bands, phash bands all reduce to this shape).
+
+    Partition by band-hash prefix (few, large groups) and pair WITHIN a
+    partition using vectorized run detection — one pandas/numpy call per
+    partition instead of one map_groups call per bucket (640k buckets ⇒
+    minutes of per-group overhead, measured)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         bh = t["band_hash"].to_numpy(zero_copy_only=False)
@@ -464,6 +470,69 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     # vectorized popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def simhash_candidate_pairs(ds, r: int = 3, text_col: str = "text",
+                            key_col: str = "doc_id"):
+    """EXACT near-dup pairs at hamming distance ≤ r over 64-bit SimHash.
+
+    Multi-index banding: the 64 bits split into r+1 disjoint bands; two
+    hashes within hamming r must agree EXACTLY on ≥1 band (pigeonhole),
+    so bucketing each band and verifying candidates is exact, not
+    approximate.  Pairing reuses band_candidate_pairs; verification
+    attaches each side's simhash with a hash join (no loop — single
+    DAG) and filters by vectorized popcount.  → (key_a, key_b, hamming).
+    """
+    if not 0 <= r <= 7:
+        raise ValueError("r must be in [0, 7]")
+    bands = r + 1
+    cuts = [(k * 64) // bands for k in range(bands + 1)]
+    sh = ds.map_batches(SimHasher(text_col, key_col),
+                        batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        n = h.size
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for k in range(bands):
+            width = cuts[k + 1] - cuts[k]
+            bh[:, k] = (h >> np.uint64(cuts[k])) & np.uint64((1 << width) - 1)
+        return pa.table({
+            key_col: pa.array(np.repeat(keys, bands)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64), type=pa.int64()),
+        })
+
+    cands = band_candidate_pairs(
+        sh.map_batches(explode, batch_format="pyarrow"), key_col)
+
+    def as_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"key_{side}": t[key_col],
+                             f"sim_{side}": t["simhash"]})
+        return fn
+
+    ha = sh.map_batches(as_side("a"), batch_format="pyarrow").materialize()
+    hb = sh.map_batches(as_side("b"), batch_format="pyarrow").materialize()
+    joined = cands.join(ha, join_type="inner", num_partitions=8,
+                        on=("key_a",)).materialize()
+    joined = joined.join(hb, join_type="inner", num_partitions=8,
+                         on=("key_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key_a": pa.array([], type=pa.int64()),
+                             "key_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        d = hamming64(t["sim_a"].to_numpy(zero_copy_only=False),
+                      t["sim_b"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        keep = d <= r
+        return pa.table({"key_a": t["key_a"].filter(pa.array(keep)),
+                         "key_b": t["key_b"].filter(pa.array(keep)),
+                         "hamming": pa.array(d[keep])})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

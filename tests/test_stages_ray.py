@@ -274,6 +274,38 @@ def test_minhash_oph_finds_planted_duplicates(ray_session):
     assert recall >= 0.9, recall
 
 
+def test_simhash_pairs_exact_vs_brute(ray_session):
+    """Multi-index banding is EXACT for hamming ≤ r (pigeonhole): the
+    operator's pair set must equal the brute all-pairs computation."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import (
+        SimHasher, hamming64, simhash_candidate_pairs)
+
+    rng = np.random.default_rng(21)
+    words = [f"tok{k}" for k in range(120)]
+    base = [" ".join(rng.choice(words, 40)) for _ in range(150)]
+    texts = list(base)
+    for i in range(40):  # near-dups: change one token
+        toks = base[i].split()
+        toks[rng.integers(0, len(toks))] = "changed"
+        texts.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    r = 3
+    got = simhash_candidate_pairs(ds, r=r).to_pandas()
+    got_set = {(int(a), int(b)) for a, b in zip(got["key_a"], got["key_b"])}
+    hs = SimHasher().simhash_bulk(pa.array(texts))
+    ia, ib = np.triu_indices(len(texts), k=1)
+    d = hamming64(hs[ia], hs[ib])
+    want = {(int(a), int(b)) for a, b in zip(ia[d <= r], ib[d <= r])}
+    assert want, "fixture must produce close pairs"
+    assert got_set == want
+    assert (got["hamming"] <= r).all()
+
+
 def test_simhash_bulk_consistency():
     """Bulk simhash over a column equals the per-text wrapper, and docs
     with shared token multisets hash closer than unrelated docs."""
