@@ -37,11 +37,22 @@ def main() -> None:
     vk.from_latlng(lat, lng)
     vec_rps = len(lat) / (time.time() - t0)
 
+    # host-state probe: this VM's memory bandwidth swings ~3× with
+    # hypervisor contention (BASELINE.md "Host-variance calibration");
+    # u64_add_sec normalizes wall-clock comparisons across rounds
+    x = np.arange(12_000_000, dtype=np.uint64)
+    y = x.copy()
+    t0 = time.time()
+    for _ in range(10):
+        x + y
+    probe = time.time() - t0
+
     print(json.dumps({
         "metric": "leaf_cell_assignment_rows_per_sec",
         "scalar_reference_style_single_thread": round(scalar_rps),
         "vectorized_single_thread": round(vec_rps),
         "vectorized_speedup": round(vec_rps / scalar_rps, 1),
+        "host_probe_u64_add_12m_x10_sec": round(probe, 3),
         "note": "distributed 32-CPU flagship joins 5-6M rows/s end-to-end "
                 "(cell assign + covering join + aggregate) — bench_results/round1.json",
     }))
