@@ -341,7 +341,22 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        # host memory-bandwidth state at measurement time (this VM swings
+        # ~3× with hypervisor contention — BASELINE.md "Host-variance
+        # calibration"; fast state ≈ 0.5–0.9 s, degraded ≥ 1.8 s)
+        "host_probe_u64_add_sec": _host_probe(),
     }
+
+
+def _host_probe() -> float:
+    import numpy as np
+
+    x = np.arange(12_000_000, dtype=np.uint64)
+    y = x.copy()
+    t0 = time.time()
+    for _ in range(10):
+        x + y
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
