@@ -306,6 +306,67 @@ def test_simhash_pairs_exact_vs_brute(ray_session):
     assert (got["hamming"] <= r).all()
 
 
+def test_simhash_pairs_duplicate_heavy_exact(ray_session):
+    """Round-2 advisory: duplicate-heavy corpora (all docs share a band
+    bucket) must emit the FULL pair triangle — no silent max_bucket
+    truncation.  300 identical docs → C(300,2) = 44850 pairs, every doc
+    present in ≥1 pair."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import simhash_candidate_pairs
+
+    n = 300
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["the same exact document text repeated"] * n),
+    }))
+    out = simhash_candidate_pairs(ds, r=3).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    present = set(out["key_a"]) | set(out["key_b"])
+    assert len(present) == n
+    # pairs are distinct and ordered
+    assert (out["key_a"] < out["key_b"]).all()
+    assert not out.duplicated(["key_a", "key_b"]).any()
+
+
+def test_simhash_pairs_string_keys(ray_session):
+    """String doc ids flow through banding, the pair shard hash, and the
+    empty-batch schema (round-2 advisory: the empty branch hardcoded
+    int64 and broke concatenation)."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import simhash_candidate_pairs
+
+    texts = ["common shared text body number " + str(i % 5) for i in range(30)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"doc-{i:03d}" for i in range(30)]),
+        "text": pa.array(texts),
+    }))
+    out = simhash_candidate_pairs(ds, r=2).to_pandas()
+    # each group of 6 identical docs yields C(6,2)=15 pairs at hamming 0
+    assert len(out) >= 5 * 15
+    assert out["key_a"].map(type).eq(str).all()
+    assert (out["key_a"] < out["key_b"]).all()
+
+
+def test_connected_components_missing_node_raises(ray_session):
+    """Round-2 advisory: an edge endpoint absent from nodes_ds must fail
+    loudly, not propagate -1 as the component label."""
+    import pytest
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import connected_components
+
+    edges = rd.from_arrow(pa.table({
+        "key_a": pa.array([1], type=pa.int64()),
+        "key_b": pa.array([99], type=pa.int64()),  # 99 not in nodes
+    }))
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(Exception) as ei:
+        connected_components(edges, nodes).to_pandas()
+    assert "not present in" in str(ei.value)
+
+
 def test_simhash_bulk_consistency():
     """Bulk simhash over a column equals the per-text wrapper, and docs
     with shared token multisets hash closer than unrelated docs."""
