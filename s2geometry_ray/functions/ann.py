@@ -71,25 +71,25 @@ class BruteCosineActor:
 
 def brute_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
                emb_col="embedding", concurrency=(1, 4)):
-    """Exact cosine top-k for each query row; → (query_idx, key, sim)."""
+    """Exact cosine top-k for each query row; → (query_idx, key, sim).
+
+    Merge = the hash-partitioned distributed top-k (stages/topk.py):
+    map-side per-block combine → ``groupby(qpart)`` reduce — no single
+    reducer (round-2 verdict item 1)."""
     import ray
 
-    qref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+    from s2geometry_ray.stages.topk import topk_merge
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qref = ray.put(q)
     partials = ds.map_batches(
         BruteCosineActor,
         fn_constructor_args=(qref, k, key_col, emb_col),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-
-    def merge_all(batch: pd.DataFrame) -> pd.DataFrame:
-        # bounded single reduce (≤ Q·k rows per upstream block)
-        batch = batch.sort_values(["query_idx", "sim", key_col],
-                                  ascending=[True, False, True], kind="mergesort")
-        return batch.groupby("query_idx", as_index=False, sort=False).head(k)
-
-    return partials.repartition(1).map_batches(merge_all, batch_format="pandas",
-                                               batch_size=None)
+    return topk_merge(partials, k, "query_idx", "sim", key_col,
+                      ascending=False, nq_hint=q.shape[0])
 
 
 def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,
