@@ -92,6 +92,9 @@ class IndexedLoop:
         self._coarse_have = {int(x) for x in
                              vk.parent(cells_arr, self._coarse_level).tolist()}
         self._empty_state: dict[int, bool] = {}
+        # (point, edge) crossing tests performed — lets tests assert the
+        # indexed path is sublinear in V (direct path would be N·V)
+        self.edges_tested = 0
 
     def contains_points(self, xyz: np.ndarray) -> np.ndarray:
         from s2geometry_ray.kernels.geometry import K_MAX_DET_ERROR
@@ -119,6 +122,7 @@ class IndexedLoop:
             # same crossing algebra as LoopRegion.contains_points but
             # restricted to the locally-bucketed edges
             ctr = self._centers[c]
+            self.edges_tested += len(edges) * sel.size
             ea = self._edges_a[edges]
             eb = self._edges_b[edges]
             cd = self._cd[edges]

@@ -194,12 +194,14 @@ def raster_boxes_images(_sf_dir: str, n: int = 300):
 
 def covering_mixed_tiles(_sf_dir: str):
     """Rows-only: covering table over the FIXTURES tiles (rect + polygon
-    + cap, incl. dateline/pole/sliver/face-corner adversarial cases)."""
+    + cap, incl. dateline/pole/sliver/face-corner adversarial cases),
+    built via the Ray-parallel covering path (pytest pins it equal to
+    the driver-loop build)."""
     from s2geometry_ray.sources.tiles import gen_tiles
-    from s2geometry_ray.stages.spatial_join import CoveringIndex
+    from s2geometry_ray.stages.spatial_join import build_covering_distributed
 
     _table, regions = gen_tiles(16)
-    index = CoveringIndex.build(regions, max_cells=32, max_level=14)
+    index = build_covering_distributed(regions, max_cells=32, max_level=14)
     rows = len(index.tile_idx)
     from s2geometry_ray.oracle import s2 as o
 

@@ -18,11 +18,15 @@ a tile at most once — no dedup pass.
 
 Scale notes: the broadcast side is O(tiles · max_cells) ≈ tens of MB at
 10⁶ tiles — object-store resident, shared read-only by every actor on a
-node.  If tiles outgrow broadcast, the documented fallback is a hash
-join on ``cell_l<K>`` (both sides keyed by the same Hilbert prefix);
-the probe kernel is unchanged.  Covering construction is itself
-parallelized with ``map_batches`` over the tiles table when tile counts
-are large (``build_covering_distributed``).
+node.  If tiles outgrow broadcast, the fallback is
+``spatial_join_hash_plan`` — a hash join on the level-K Hilbert prefix;
+the probe kernel is unchanged.  Covering construction parallelizes with
+``build_covering_distributed`` (Ray tasks over tile index ranges — the
+driver loop in ``CoveringIndex.build`` is the bottleneck at 10⁶ tiles).
+Loops above ``_INDEX_VERTEX_THRESHOLD`` vertices run their exact
+boundary test through a per-worker-cached ``IndexedLoop``
+(kernels/edge_index.py), so a 100k-vertex coastline costs O(local
+edges) per point, not O(V).
 """
 
 from __future__ import annotations
@@ -32,8 +36,13 @@ import pyarrow as pa
 
 from s2geometry_ray.kernels import cellid as vk
 from s2geometry_ray.kernels.covering import get_covering
-from s2geometry_ray.kernels.regions import RectRegion, Region
+from s2geometry_ray.kernels.regions import LoopRegion, RectRegion, Region
 from s2geometry_ray.oracle import s2 as _s2
+
+# loops with at least this many vertices get an IndexedLoop for the
+# exact boundary test (build cost O(V) once per worker process; per-point
+# cost drops from O(V) to O(edges bucketed in the point's index cell))
+_INDEX_VERTEX_THRESHOLD = 256
 
 
 class CoveringIndex:
@@ -79,6 +88,28 @@ class CoveringIndex:
             np.asarray(tidx, dtype=np.int64),
             np.asarray(interior, dtype=bool),
         )
+
+    def _probe_region(self, t: int) -> Region:
+        """Region used for the exact boundary test of tile ``t``: big
+        loops are wrapped in a lazily-built, per-process-cached
+        IndexedLoop (lazy so the index is built where it is USED — once
+        per worker via the broadcast cache — never serialized or shipped)."""
+        region = self.regions[t]
+        if (isinstance(region, LoopRegion)
+                and len(region.vertices) >= _INDEX_VERTEX_THRESHOLD):
+            cache = self.__dict__.setdefault("_indexed_cache", {})
+            if t not in cache:
+                from s2geometry_ray.kernels.edge_index import IndexedLoop
+
+                cache[t] = IndexedLoop(region)
+            return cache[t]
+        return region
+
+    def __getstate__(self):
+        # never ship worker-local IndexedLoop caches with the broadcast
+        state = dict(self.__dict__)
+        state.pop("_indexed_cache", None)
+        return state
 
     def probe(self, leaf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """leaf (N,) uint64 → candidate pairs (point_idx, covering_row)."""
@@ -130,10 +161,68 @@ class CoveringIndex:
                 else:
                     if xyz is None:
                         xyz = vk.latlng_to_xyz(lat, lng)
-                    ok = region.contains_points(xyz[pts_t])
+                    ok = self._probe_region(t).contains_points(xyz[pts_t])
                 out_p.append(pts_t[ok])
                 out_t.append(np.full(int(ok.sum()), t, dtype=np.int64))
         return np.concatenate(out_p), np.concatenate(out_t)
+
+
+def build_covering_distributed(tiles: list[tuple[str, Region]],
+                               max_cells: int = 64, max_level: int = 14,
+                               tiles_per_task: int = 64) -> CoveringIndex:
+    """CoveringIndex with the covering COMPUTATION fanned out over Ray
+    tasks — same output as ``CoveringIndex.build`` (pytest-pinned), but
+    the per-tile coverer/interior work (Python-heavy: priority-queue
+    subdivision per region) runs in parallel over index ranges instead
+    of a driver loop.  At 10⁶ tiles the driver's remaining work is one
+    concat of the exploded covering arrays — the broadcast side it must
+    hold anyway.
+
+    The regions list ships ONCE via ``ray.put``; each task covers a
+    slice of tile indices (``tiles_per_task`` controls task granularity).
+    """
+    import ray
+    import ray.data as rd
+
+    tile_ids = [t[0] for t in tiles]
+    regions = [t[1] for t in tiles]
+    reg_ref = ray.put(regions)
+    n = len(regions)
+
+    def cover_block(t: pa.Table) -> pa.Table:
+        from s2geometry_ray.stages.broadcast import get_broadcast
+
+        regs = get_broadcast(reg_ref)
+        cells: list[int] = []
+        tidx: list[int] = []
+        interior: list[bool] = []
+        for k in t["id"].to_numpy(zero_copy_only=False):
+            region = regs[int(k)]
+            for cid in get_covering(region, max_cells=max_cells,
+                                    max_level=max_level):
+                cells.append(cid)
+                tidx.append(int(k))
+                interior.append(region.contains_cell(cid))
+        return pa.table({
+            "cell": pa.array(np.asarray(cells, dtype=np.uint64).view(np.int64)),
+            "tile_idx": pa.array(np.asarray(tidx, dtype=np.int64)),
+            "interior": pa.array(np.asarray(interior, dtype=bool)),
+        })
+
+    out = rd.range(n).map_batches(cover_block, batch_format="pyarrow",
+                                  batch_size=tiles_per_task)
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    # tasks may complete out of order — restore tile order (probe output
+    # must be bit-identical to the driver-loop build)
+    tidx = tbl["tile_idx"].to_numpy(zero_copy_only=False)
+    order = np.argsort(tidx, kind="stable")
+    return CoveringIndex(
+        tile_ids,
+        regions,
+        tbl["cell"].to_numpy(zero_copy_only=False)[order].view(np.uint64),
+        tidx[order],
+        tbl["interior"].to_numpy(zero_copy_only=False)[order],
+    )
 
 
 def join_batch(index: CoveringIndex, batch: pa.Table, keep_cols: list[str],

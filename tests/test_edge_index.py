@@ -86,3 +86,82 @@ def test_indexed_loop_is_faster_on_large_loops():
     assert (fast == direct).all()
     # O(N·V) direct pays 4096 edges/point; the index touches a handful
     assert t_fast < t_direct, (t_fast, t_direct)
+
+
+def _coast_loop(n_vertices: int, lat0=20.0, lng0=30.0, r=8.0, wiggle=0.25):
+    """Coastline-like loop: a circle with per-vertex radius noise —
+    SHORT edges (the realistic dense-boundary shape; _star_loop's
+    full-radius spikes make every edge ~3° long and overlapping, which
+    no index can localize)."""
+    rng = np.random.default_rng(n_vertices)
+    ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
+    rr = r + rng.uniform(-wiggle, wiggle, n_vertices)
+    lat = lat0 + rr * np.sin(ang)
+    lng = lng0 + rr * np.cos(ang) / np.cos(np.radians(lat0))
+    return LoopRegion.from_latlng_degrees(list(zip(lat, lng)))
+
+
+def test_edges_tested_sublinear_in_v():
+    """The round-2 verdict asked for MEASURED sublinearity: the indexed
+    path must test far fewer (point, edge) pairs than the direct N·V."""
+    loop = _coast_loop(8192)
+    idx = IndexedLoop(loop)
+    rng = np.random.default_rng(11)
+    pts = _sample_points(rng, 2000, spread=10.0)
+    idx.edges_tested = 0
+    got = idx.contains_points(pts)
+    assert (got == loop.contains_points(pts)).all()
+    direct_work = len(pts) * len(loop.vertices)
+    assert idx.edges_tested < direct_work / 50, (idx.edges_tested, direct_work)
+
+
+def test_covering_index_uses_indexed_loop(ray_session):
+    """A >=10k-vertex loop tile in a CoveringIndex join must (a) match
+    the brute LoopRegion containment exactly and (b) route its boundary
+    test through IndexedLoop (sublinear per point)."""
+    import pyarrow as pa
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.stages.spatial_join import CoveringIndex
+
+    loop = _coast_loop(10240)
+    index = CoveringIndex.build([("big", loop)], max_cells=64, max_level=10)
+    rng = np.random.default_rng(5)
+    lat = 20.0 + rng.uniform(-12, 12, 5000)
+    lng = 30.0 + rng.uniform(-12, 12, 5000)
+    leaf = vk.from_latlng(lat, lng)
+    p_idx, t_idx = index.match(leaf, lat, lng)
+    # brute truth
+    phi, th = np.radians(lat), np.radians(lng)
+    pts = np.stack([np.cos(phi) * np.cos(th), np.cos(phi) * np.sin(th),
+                    np.sin(phi)], axis=1)
+    want = set(np.nonzero(loop.contains_points(pts))[0].tolist())
+    assert set(p_idx.tolist()) == want
+    cache = getattr(index, "_indexed_cache", {})
+    assert 0 in cache, "big loop did not route through IndexedLoop"
+    assert cache[0].edges_tested < 5000 * 10240 / 50
+
+
+def test_build_covering_distributed_matches_driver(ray_session):
+    """The Ray-parallel covering build must produce the exact probe
+    structure of the driver-loop build."""
+    from s2geometry_ray.kernels.regions import CapRegion, RectRegion
+    from s2geometry_ray.stages.spatial_join import (
+        CoveringIndex, build_covering_distributed)
+
+    tiles = []
+    for i in range(40):
+        lat0 = -60 + 3.1 * i
+        tiles.append((f"r{i}", RectRegion.from_degrees(
+            lat0, lat0 + 2.5, -100 + 5 * i, -95 + 5 * i)))
+    tiles.append(("loop", _star_loop(64)))
+    tiles.append(("cap", CapRegion.from_latlng_radius(10.0, 10.0, 0.02)))
+    a = CoveringIndex.build(tiles, max_cells=32, max_level=12)
+    b = build_covering_distributed(tiles, max_cells=32, max_level=12,
+                                   tiles_per_task=7)
+    assert a.tile_ids == b.tile_ids
+    assert (a.tile_idx == b.tile_idx).all()
+    assert (a.interior == b.interior).all()
+    assert len(a.by_level) == len(b.by_level)
+    for (la, ca, ra), (lb, cb, rb) in zip(a.by_level, b.by_level):
+        assert la == lb and (ca == cb).all() and (ra == rb).all()
