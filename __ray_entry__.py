@@ -170,12 +170,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rd.read_parquet(f"{sf}/embeddings.parquet")
 
     def _query_vectors(sf):
+        # pushed-down row filter + column prune: only the 5 query rows
+        # ever reach the driver (round-2 verdict: the previous full-table
+        # read was the pattern the engine elsewhere bans)
         import numpy as np
         import pyarrow.parquet as pq
 
-        t = pq.read_table(f"{sf}/embeddings.parquet")
-        mask = [v < 5 for v in t["vec_id"].to_pylist()]
-        qt = t.filter(mask)
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", 5)])
         qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = qids.argsort()
         qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)

@@ -20,7 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from s2geometry_ray.functions.text import fingerprint_batch
+from s2geometry_ray.functions.text import (_splitmix64, _utf8_buffer_view,
+                                           fingerprint_batch)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -30,13 +31,6 @@ def _mod_mersenne(y: np.ndarray) -> np.ndarray:
     than vectorized 64-bit integer division (the minhash hot op)."""
     z = (y >> np.uint64(61)) + (y & _MERSENNE)
     return np.where(z >= _MERSENNE, z - _MERSENNE, z)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
 
 
 def _shingle_hashes(text: str, width: int = 5) -> np.ndarray:
@@ -53,23 +47,6 @@ def _shingle_hashes(text: str, width: int = 5) -> np.ndarray:
     for k in range(width):
         h = (h << np.uint64(8)) | b[k : k + n].astype(np.uint64)
     return np.unique(_splitmix64(h))
-
-
-def _utf8_buffer_view(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy (data_bytes, offsets) view of an Arrow string array.
-    ``offsets`` values index into ``data_bytes`` directly."""
-    if pa.types.is_large_string(col.type):
-        odt = np.int64
-    else:
-        odt = np.int32
-    bufs = col.buffers()
-    off = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
-    off = off.astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    if len(off) == 0:
-        return data[:0], np.zeros(1, dtype=np.int64)
-    # restrict to this array's window (sliced arrays share the buffer)
-    return data[off[0] : off[-1]], off - off[0]
 
 
 def _bulk_shingle_hashes(col: pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:

@@ -117,21 +117,86 @@ class LangId:
         return batch
 
 
-def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit blake2b content fingerprint per doc (one C-speed hash call
-    per row) — the exact-dedup key; deterministic across processes."""
-    import hashlib
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
-    texts = pc.cast(batch[text_col], pa.string()).to_pylist()
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(t.encode("utf-8", "surrogatepass"),
-                                           digest_size=8).digest(), "big")
-            for t in texts
-        ),
-        dtype=np.uint64,
-        count=len(texts),
-    )
+
+def _utf8_buffer_view(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data_bytes, offsets) view of an Arrow string array.
+    ``offsets`` values index into ``data_bytes`` directly."""
+    if pa.types.is_large_string(col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
+    off = off.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    if len(off) == 0:
+        return data[:0], np.zeros(1, dtype=np.int64)
+    # restrict to this array's window (sliced arrays share the buffer)
+    return data[off[0] : off[-1]], off - off[0]
+
+
+# word-mix runs in L2-resident blocks: the mix + cumsum intermediates
+# stay in cache (same measured rationale as dedup._bulk_shingle_hashes)
+_FP_CHUNK = 1 << 16
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint per doc — the exact-dedup key.
+
+    Fully vectorized over the Arrow utf8 buffer (round-2 verdict item 5:
+    the previous per-row blake2b + ``to_pylist`` was the one remaining
+    per-row hot path in a SQL-checked pipeline), at WORD granularity:
+
+    1. one monotone scatter re-packs the buffer so every doc starts on
+       an 8-byte boundary (tail zero-padded) — alignment-independent;
+    2. the packed buffer is viewed as uint64 words; each word is
+       splitmix-mixed with its in-document word index (order-sensitive),
+       8 bytes per mix instead of 1;
+    3. a wrapping uint64 cumulative sum turns per-doc word ranges into
+       exact segment sums; a final mix folds in the byte length (so
+       zero-padding cannot alias onto shorter docs).
+
+    Deterministic across processes; collisions are birthday-at-2⁻⁶⁴
+    between random 64-bit values — the same contract the 8-byte blake2b
+    digest gave."""
+    col = pc.cast(batch[text_col], pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    data, off = _utf8_buffer_view(col)
+    n = len(col)
+    lens = np.diff(off)
+    wlens = (lens + 7) >> 3
+    woff = np.concatenate([[0], np.cumsum(wlens)])
+    total_w = int(woff[-1])
+    buf = np.zeros(total_w * 8, dtype=np.uint8)
+    # dst is strictly increasing (per-doc shift = accumulated padding):
+    # one cache-friendly scatter aligns every doc
+    if data.size:
+        # int32 indices: the scatter's index traffic dominates the whole
+        # kernel at byte granularity (buffers are < 2 GiB per batch)
+        dst = (np.repeat((woff[:-1] * 8 - off[:-1]).astype(np.int32), lens)
+               + np.arange(data.size, dtype=np.int32))
+        buf[dst] = data
+    words = buf.view(np.uint64)
+    csum = np.empty(total_w + 1, dtype=np.uint64)
+    csum[0] = 0
+    wstart = np.repeat(woff[:-1], wlens)  # doc's first word, per word
+    for s in range(0, total_w, _FP_CHUNK):
+        e = min(s + _FP_CHUNK, total_w)
+        local = np.arange(s + 1, e + 1, dtype=np.uint64) - wstart[s:e].astype(np.uint64)
+        mixed = _splitmix64(words[s:e] + local * np.uint64(0x9E3779B97F4A7C15))
+        np.cumsum(mixed, out=csum[s + 1 : e + 1])
+        csum[s + 1 : e + 1] += csum[s]
+    seg = csum[woff[1:]] - csum[woff[:-1]]
+    out = _splitmix64(seg + lens.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+    if len(out) != n:  # all-empty column edge (buffer view yields 0 docs)
+        out = np.zeros(n, dtype=np.uint64)
     # int64 bit-view: fp64 is a groupby key and Ray aggregates hash int64
     # natively but mis-handle uint64 (overflow fallback path)
     return batch.append_column("fp64", pa.array(out.view(np.int64), type=pa.int64()))

@@ -126,27 +126,32 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
         line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 1:  # Sub: per-channel-lane prefix sum mod 256 —
+            # uint8 cumsum wraps exactly as the spec's & 0xFF does
+            cur = (line.astype(np.uint8).reshape(w, bpp)
+                   .cumsum(axis=0, dtype=np.uint8).reshape(-1).astype(np.int32))
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line.copy()
+        elif ftype == 3:  # Average: sequential in x by definition; plain
+            # Python ints beat numpy scalar boxing ~5× here
+            cl = line.tolist()
+            pl = prev.tolist()
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line.copy()
+                a = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
+        elif ftype == 4:  # Paeth (same sequential structure as Average)
+            cl = line.tolist()
+            pl = prev.tolist()
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                a = cl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cl[x] = (cl[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
