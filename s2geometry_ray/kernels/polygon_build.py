@@ -15,15 +15,19 @@ From-scratch spherical polygon overlay in the family's shape:
   (signed spherical excess > 2π ⇒ the loop is a hole; its vertices are
   re-reversed for the hole's LoopRegion).
 
-Degenerate-contact policy matches robust_crossing: shared vertices /
-edges touching without strict crossing do not generate intersection
-vertices (the reference resolves these with symbolic perturbation; here
-they follow the documented strict-crossing contract).  Inputs are
-simple (non-self-intersecting) loops smaller than a hemisphere per
-edge pair, in GENERAL POSITION: loops whose boundaries share collinear
-overlapping segments (e.g. two rects on the same meridian) are outside
-the v1 contract — the builder degrades to partial loops rather than
-crashing, and callers should perturb such inputs.
+Collinear / shared-boundary inputs ARE supported (round-2 verdict item
+7 lifted the v1 general-position restriction): edges additionally split
+at the OTHER loop's vertices lying on them, so overlapping collinear
+runs decompose into vertex-aligned sub-edges; each sub-edge is then
+classified by the result-membership of points offset ``_CLASSIFY_EPS``
+to its LEFT and RIGHT (instead of the on-boundary-ambiguous midpoint),
+and emitted in whichever direction keeps the result interior on the
+left.  Seam segments (interiors on both sides, or neither) cancel;
+same-direction shared segments dedup to one copy in the builder.
+Remaining contract: simple loops, arcs shorter than a hemisphere, and
+features wider than ``_CLASSIFY_EPS`` (≈6 mm on Earth); exact
+vertex-through-vertex tangencies still follow the strict-crossing
+policy rather than the reference's symbolic perturbation.
 
 These run per tile-pair inside map_batches at pipeline level (see
 pipelines/extras.polygon_overlay_tiles); nothing here touches Ray.
@@ -59,6 +63,7 @@ class PolygonBuilder:
         self._verts: list[np.ndarray] = []
         self._grid: dict[tuple, list[int]] = {}
         self._edges: list[tuple[int, int]] = []
+        self._edge_set: set[tuple[int, int]] = set()
 
     def _snap(self, p: np.ndarray) -> int:
         p = np.asarray(p, dtype=np.float64)
@@ -76,7 +81,10 @@ class PolygonBuilder:
 
     def add_edge(self, a, b) -> None:
         ia, ib = self._snap(a), self._snap(b)
-        if ia != ib:
+        if ia != ib and (ia, ib) not in self._edge_set:
+            # dedup identical directed edges: same-direction shared
+            # boundary runs are emitted once per source loop
+            self._edge_set.add((ia, ib))
             self._edges.append((ia, ib))
 
     def _tangent(self, v: np.ndarray, toward: np.ndarray) -> np.ndarray:
@@ -135,59 +143,98 @@ class PolygonBuilder:
         return loops
 
 
+# on-edge vertex tolerance (distance to the edge's great circle) and
+# lateral classification offset.  _ON_EDGE_EPS bounds snap rounding;
+# _CLASSIFY_EPS must exceed it comfortably yet stay far below feature
+# size (1e-9 rad ≈ 6 mm on Earth).
+_ON_EDGE_EPS = 1e-12
+_CLASSIFY_EPS = 1e-9
+
+
 def _split_edges(A: np.ndarray, B: np.ndarray):
     """Sub-edges of loop A's boundary split at strict crossings with B's
-    edges, in traversal order."""
+    edges AND at B's vertices lying on the edge (so collinear-overlap
+    runs decompose into vertex-aligned sub-edges), in traversal order."""
     nb = len(B)
     for k in range(len(A)):
         a, b = A[k], A[(k + 1) % len(A)]
+        n = np.cross(a, b)
+        nn = np.linalg.norm(n)
         cuts = []
         for e in range(nb):
             c, d = B[e], B[(e + 1) % nb]
             if robust_crossing(tuple(a), tuple(b), tuple(c), tuple(d)):
                 x = arc_intersection(a, b, c, d)
                 cuts.append((float(np.dot(x, a)), x))  # larger dot = closer to a
+        if nn > 0:
+            dot_ab = float(np.dot(a, b))
+            for e in range(nb):
+                v = B[e]
+                # on the edge's great circle, strictly between a and b
+                if (abs(float(np.dot(n, v))) <= _ON_EDGE_EPS * nn
+                        and float(np.dot(v, a)) > dot_ab + _ON_EDGE_EPS
+                        and float(np.dot(v, b)) > dot_ab + _ON_EDGE_EPS
+                        and float(np.linalg.norm(v - a)) > _ON_EDGE_EPS
+                        and float(np.linalg.norm(v - b)) > _ON_EDGE_EPS):
+                    cuts.append((float(np.dot(v, a)), v))
         cuts.sort(key=lambda t: -t[0])
         chain = [a] + [x for _, x in cuts] + [b]
         for i in range(len(chain) - 1):
             yield chain[i], chain[i + 1]
 
 
-def _overlay(A: LoopRegion, B: LoopRegion, keep_a, keep_b, reverse_b=False
-             ) -> list[np.ndarray]:
+def _overlay(A: LoopRegion, B: LoopRegion, in_result) -> list[np.ndarray]:
+    """Generic boundary overlay: every sub-edge (from either loop) is
+    classified by whether the points offset _CLASSIFY_EPS to its left
+    and right are inside the RESULT (``in_result(in_a, in_b)``), and
+    emitted in the direction that keeps the result interior on the left.
+    Interior edges (both sides in) and seam edges (neither side in, or
+    opposite-interior) cancel; this single rule subsumes the former
+    per-operation midpoint tests and the difference's reverse_b flag,
+    and is well-defined on shared/collinear boundaries where the
+    midpoint itself sits ON the other loop."""
     builder = PolygonBuilder()
-    for p, q in _split_edges(A.vertices, B.vertices):
+
+    def classify(p: np.ndarray, q: np.ndarray) -> None:
+        n = np.cross(p, q)  # points LEFT of p→q
+        nn = np.linalg.norm(n)
+        if nn == 0:
+            return
+        n = n / nn
         mid = p + q
         mid = mid / np.linalg.norm(mid)
-        if keep_a(bool(B.contains_points(mid[None, :])[0])):
+        ml = mid + _CLASSIFY_EPS * n
+        mr = mid - _CLASSIFY_EPS * n
+        pts = np.stack([ml / np.linalg.norm(ml), mr / np.linalg.norm(mr)])
+        in_a = A.contains_points(pts)
+        in_b = B.contains_points(pts)
+        left_in = in_result(bool(in_a[0]), bool(in_b[0]))
+        right_in = in_result(bool(in_a[1]), bool(in_b[1]))
+        if left_in and not right_in:
             builder.add_edge(p, q)
+        elif right_in and not left_in:
+            builder.add_edge(q, p)
+
+    for p, q in _split_edges(A.vertices, B.vertices):
+        classify(p, q)
     for p, q in _split_edges(B.vertices, A.vertices):
-        mid = p + q
-        mid = mid / np.linalg.norm(mid)
-        if keep_b(bool(A.contains_points(mid[None, :])[0])):
-            if reverse_b:
-                builder.add_edge(q, p)
-            else:
-                builder.add_edge(p, q)
+        classify(p, q)
     return builder.assemble_loops()
 
 
 def loop_union(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
     """Boundary loops of A ∪ B (shells CCW; disjoint inputs → both)."""
-    return _overlay(A, B, keep_a=lambda in_b: not in_b,
-                    keep_b=lambda in_a: not in_a)
+    return _overlay(A, B, lambda ia, ib: ia or ib)
 
 
 def loop_intersection(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
     """Boundary loops of A ∩ B (empty list when disjoint)."""
-    return _overlay(A, B, keep_a=lambda in_b: in_b,
-                    keep_b=lambda in_a: in_a)
+    return _overlay(A, B, lambda ia, ib: ia and ib)
 
 
 def loop_difference(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
     """Boundary loops of A \\ B; fully-nested B emerges as a CW hole."""
-    return _overlay(A, B, keep_a=lambda in_b: not in_b,
-                    keep_b=lambda in_a: in_a, reverse_b=True)
+    return _overlay(A, B, lambda ia, ib: ia and not ib)
 
 
 def loops_to_polygon(loops: list[np.ndarray]) -> PolygonRegion | None:

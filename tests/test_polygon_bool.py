@@ -95,16 +95,56 @@ def test_builder_snaps_and_closes():
     assert len(loops) == 1 and len(loops[0]) == 4
 
 
-def test_collinear_overlap_degrades_gracefully():
-    """Same-meridian rects (collinear overlapping edges) are outside the
-    v1 general-position contract: the overlay must not crash (dead-end
-    walks are abandoned, partial loops returned)."""
+def test_collinear_overlap_is_correct():
+    """Same-meridian rects (collinear overlapping boundary runs) — the
+    round-2 general-position restriction is lifted: overlay results must
+    be CORRECT, not merely non-crashing."""
+    rng = np.random.default_rng(6)
     A = _sq(-20, -10, 0, 10)
-    B = _sq(-12, -2, 0, 10)  # shares both meridian segments with A
-    for fn in (loop_union, loop_intersection, loop_difference):
-        loops = fn(A, B)  # no exception is the contract
-        for v in loops:
-            assert len(v) >= 3
+    B = _sq(-12, -2, 0, 10)  # shares both meridian lines with A
+    _check(loop_union, np.logical_or, A, B, rng)
+    _check(loop_intersection, np.logical_and, A, B, rng)
+    _check(loop_difference, lambda a, b: a & ~b, A, B, rng)
+
+
+def test_shared_edge_rects():
+    """Rects sharing one full edge: union is the combined rect,
+    intersection is empty (measure zero), difference is A."""
+    rng = np.random.default_rng(7)
+    A = _sq(0, 10, 0, 10)
+    B = _sq(0, 10, 10, 20)
+    u = _check(loop_union, np.logical_or, A, B, rng)
+    assert u is not None
+    res_i = loops_to_polygon(loop_intersection(A, B))
+    if res_i is not None:  # a seam-only sliver would be area ~0
+        pts = _sample(rng)
+        assert not res_i.contains_points(pts).any()
+    _check(loop_difference, lambda a, b: a & ~b, A, B, rng)
+
+
+def test_shared_edge_subrect_difference():
+    """Removing an aligned sub-rect that shares an edge with its parent:
+    A \\ B must be the remaining strip (three shared boundary lines)."""
+    rng = np.random.default_rng(8)
+    A = _sq(0, 10, 0, 10)
+    B = _sq(0, 10, 5, 10)
+    d = _check(loop_difference, lambda a, b: a & ~b, A, B, rng)
+    assert d is not None
+    _check(loop_union, np.logical_or, A, B, rng)
+    _check(loop_intersection, np.logical_and, A, B, rng)
+
+
+def test_identical_rects():
+    """A == B: union and intersection are A; difference is empty."""
+    rng = np.random.default_rng(9)
+    A = _sq(0, 15, 0, 15)
+    B = _sq(0, 15, 0, 15)
+    _check(loop_union, np.logical_or, A, B, rng)
+    _check(loop_intersection, np.logical_and, A, B, rng)
+    res_d = loops_to_polygon(loop_difference(A, B))
+    if res_d is not None:
+        pts = _sample(rng)
+        assert not res_d.contains_points(pts).any()
 
 
 def test_triangle_overlay():
