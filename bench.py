@@ -417,6 +417,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8")
         lo, hi = (int(x) for x in pair.split(","))
+        probe_before = _host_probe()
         results = {}
         for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
@@ -449,6 +450,9 @@ def main() -> None:
                         "4x the memory buses (documented in BASELINE.md)",
             },
             "sf": sf_dir,
+            # ~3x host bandwidth swing with hypervisor contention —
+            # normalize cross-round comparisons by these (BASELINE.md)
+            "host_probe_u64_add_sec": [probe_before, _host_probe()],
         }))
         return
     print(json.dumps(run_all(sf_dir, num_cpus)))
