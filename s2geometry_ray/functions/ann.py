@@ -52,20 +52,18 @@ class BruteCosineActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _normalize_rows(_stack_embeddings(batch, self.emb_col))
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        sims = emb @ self.q.T  # (B, Q)
+        # (Q, B) layout: per-query argpartition over contiguous rows (the
+        # axis-0 variant on (B, Q) partitions strided columns — measured
+        # 10-20x slower in the kNN twin of this kernel)
+        sims = self.q @ emb.T
         kk = min(self.k, emb.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (Q, kk)
         nq = self.q.shape[0]
-        qs, ks, ss = [], [], []
-        for qi in range(nq):
-            rows = part[:, qi]
-            qs.append(np.full(kk, qi, dtype=np.int64))
-            ks.append(keys[rows])
-            ss.append(sims[rows, qi])
         return pa.table({
-            "query_idx": pa.array(np.concatenate(qs)),
-            self.key_col: pa.array(np.concatenate(ks)),
-            "sim": pa.array(np.concatenate(ss), type=pa.float64()),
+            "query_idx": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
+            self.key_col: pa.array(keys[part].reshape(-1)),
+            "sim": pa.array(np.take_along_axis(sims, part, axis=1).reshape(-1),
+                            type=pa.float64()),
         })
 
 

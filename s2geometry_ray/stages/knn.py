@@ -88,12 +88,24 @@ class QueryIndex:
         self.range_min = None
         self.range_max = None
         if level is not None:
-            all_cells, bounds = self._expand_all(level, rings)
+            all_cells, bounds, cell_q = self._expand_all(level, rings)
             union = normalize_cell_union(all_cells)
             self.range_min = np.array([_s2.range_min(c) for c in union], dtype=np.uint64)
             self.range_max = np.array([_s2.range_max(c) for c in union], dtype=np.uint64)
             # angle → squared chord: ‖p−q‖² = 4·sin²(θ/2)
             self.bounds_chord2 = (2.0 * np.sin(np.minimum(bounds, np.pi) / 2.0)) ** 2
+            # cell → queries CSR (every candidate cell is at the SAME
+            # level, so one exact searchsorted on the level-L prefix
+            # resolves a point's nearby queries): a point computes
+            # distances only to queries whose candidate set contains it —
+            # O(pairs), not O(masked-points × Q)
+            cells_arr = np.asarray(all_cells, dtype=np.uint64)
+            cq = np.asarray(cell_q, dtype=np.int64)
+            order = np.argsort(cells_arr, kind="stable")
+            sc = cells_arr[order]
+            self.csr_q = cq[order]
+            self.csr_cells, starts = np.unique(sc, return_index=True)
+            self.csr_off = np.append(starts, len(sc)).astype(np.int64)
 
     def _expand_all(self, level: int, rings: int):
         """Ring expansion for every query: vectorized ij-grid fast path for
@@ -112,6 +124,7 @@ class QueryIndex:
                     & (j0 - pad >= 0) & (j0 + pad + size <= max_size))
         bounds = np.empty(q)
         all_cells: list[int] = []
+        cell_q: list[int] = []
         idx_in = np.nonzero(interior)[0]
         if idx_in.size:
             r = rings
@@ -124,6 +137,7 @@ class QueryIndex:
             jq = (j0[idx_in][:, None] + dj[None, :]).ravel()
             cells = vk.parent(vk.from_face_ij(fq, iq, jq), level)
             all_cells.extend(cells.tolist())
+            cell_q.extend(np.repeat(idx_in, m).tolist())
             # outer ring (chebyshev == r+1): centers give the bound
             ooffs = np.arange(-(r + 1), r + 2) * size
             odi, odj = np.meshgrid(ooffs, ooffs, indexing="ij")
@@ -142,8 +156,9 @@ class QueryIndex:
         for k in np.nonzero(~interior)[0]:
             cells, b = candidate_cells_for_query(self.qxyz[k], level, rings)
             all_cells.extend(cells)
+            cell_q.extend([int(k)] * len(cells))
             bounds[k] = b
-        return all_cells, bounds
+        return all_cells, bounds, cell_q
 
     def member_mask(self, leaf: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.range_min, leaf, side="right") - 1
@@ -155,45 +170,95 @@ class QueryIndex:
 _CHUNK = 8192  # rows per distance matmul block (bounds peak memory)
 
 
+def _empty_partial(batch: pa.Table, key_col: str) -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        key_col: pa.array([], type=batch.schema.field(key_col).type),
+        "dist": pa.array([], type=pa.float64()),
+    })
+
+
+def _knn_batch_pruned(index: QueryIndex, batch: pa.Table, k: int,
+                      key_col: str, lat_col: str, lng_col: str,
+                      leaf_col: str) -> pa.Table:
+    """Cell-pruned partial kernel: each point pairs ONLY with the queries
+    whose candidate cells contain it (cell→queries CSR lookup), so the
+    distance work is O(point-query pairs) — not O(masked points × Q),
+    whose axis-strided argpartition dominated the round-2 kernel.  The
+    per-query completeness bound (checked in the merge) is exactly the
+    guarantee that a query's own candidate cells suffice."""
+    leaf = batch[leaf_col].to_numpy(zero_copy_only=False)
+    pidL = vk.parent(leaf, index.level)
+    pos = np.searchsorted(index.csr_cells, pidL)
+    pos_c = np.minimum(pos, len(index.csr_cells) - 1)
+    hit = index.csr_cells[pos_c] == pidL
+    pts_idx = np.nonzero(hit)[0]
+    if pts_idx.size == 0:
+        return _empty_partial(batch, key_col)
+    cell_pos = pos_c[hit]
+    counts = index.csr_off[cell_pos + 1] - index.csr_off[cell_pos]
+    total = int(counts.sum())
+    if total == 0:
+        return _empty_partial(batch, key_col)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)[pts_idx]
+    lng = batch[lng_col].to_numpy(zero_copy_only=False)[pts_idx]
+    keys = batch[key_col].to_numpy(zero_copy_only=False)[pts_idx]
+    xyz = vk.latlng_to_xyz(lat, lng)
+    seg = np.cumsum(counts) - counts
+    intra = np.arange(total) - np.repeat(seg, counts)
+    qidx = index.csr_q[np.repeat(index.csr_off[cell_pos], counts) + intra]
+    prow = np.repeat(np.arange(pts_idx.size), counts)
+    d2 = 2.0 - 2.0 * np.einsum("ij,ij->i", xyz[prow], index.qxyz[qidx])
+    # per-query top-k over the pair list (ties on key, like the merge)
+    order = np.lexsort((keys[prow], d2, qidx))
+    qs = qidx[order]
+    runs = np.concatenate([[True], qs[1:] != qs[:-1]])
+    starts = np.nonzero(runs)[0]
+    rank = np.arange(total) - np.repeat(starts, np.diff(np.append(starts, total)))
+    keep = order[rank < k]
+    return pa.table({
+        "query_id": pa.array(index.query_ids[qidx[keep]]),
+        key_col: pa.array(keys[prow[keep]]),
+        "dist": pa.array(d2[keep], type=pa.float64()),
+    })
+
+
 def knn_batch(index: QueryIndex, batch: pa.Table, k: int, key_col: str,
               lat_col: str, lng_col: str, leaf_col: str | None) -> pa.Table:
     """Partial top-k kernel for one batch — emits ≤ Q·k rows."""
+    if index.range_min is not None and leaf_col is not None:
+        return _knn_batch_pruned(index, batch, k, key_col, lat_col,
+                                 lng_col, leaf_col)
     lat = batch[lat_col].to_numpy(zero_copy_only=False)
     lng = batch[lng_col].to_numpy(zero_copy_only=False)
     keys = batch[key_col].to_numpy(zero_copy_only=False)
-    if index.range_min is not None and leaf_col is not None:
-        leaf = batch[leaf_col].to_numpy(zero_copy_only=False)
-        mask = index.member_mask(leaf)
-        lat, lng, keys = lat[mask], lng[mask], keys[mask]
     n = lat.shape[0]
     q = index.qxyz
     nq = q.shape[0]
     if n == 0:
-        return pa.table({
-            "query_id": pa.array([], type=pa.int64()),
-            key_col: pa.array([], type=batch.schema.field(key_col).type),
-            "dist": pa.array([], type=pa.float64()),
-        })
+        return _empty_partial(batch, key_col)
     out_q, out_key, out_d = [], [], []
     xyz = vk.latlng_to_xyz(lat, lng)
     qcols = np.arange(nq)
     for s in range(0, n, _CHUNK):
         blk = xyz[s : s + _CHUNK]
         # ‖p−q‖² = 2 − 2·p·q on unit vectors — one GEMM instead of three
-        # (B,Q) broadcast temporaries.  Differs from the SQL oracle's
-        # componentwise expression only in the last ulps; the output is a
-        # rank SET with key tie-break, and exact ties (duplicate points)
-        # yield equal doubles under both formulas, so the comparison is
-        # unaffected.
-        d2 = blk @ q.T
+        # broadcast temporaries, laid out (Q, B) C-contiguous so the
+        # per-query argpartition runs over CONTIGUOUS rows (the axis-0
+        # variant on (B, Q) was 85% of this kernel — strided partitions).
+        # Differs from the SQL oracle's componentwise expression only in
+        # the last ulps; the output is a rank SET with key tie-break, and
+        # exact ties (duplicate points) yield equal doubles under both
+        # formulas, so the comparison is unaffected.
+        d2 = q @ blk.T  # (Q, B)
         d2 *= -2.0
         d2 += 2.0
         kk = min(k, blk.shape[0])
-        part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # (kk, Q)
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # (Q, kk)
         bk = keys[s : s + _CHUNK]
         out_q.append(np.repeat(qcols, kk))
-        out_key.append(bk[part].T.reshape(-1))
-        out_d.append(d2[part, qcols[None, :]].T.reshape(-1))
+        out_key.append(bk[part].reshape(-1))
+        out_d.append(np.take_along_axis(d2, part, axis=1).reshape(-1))
     qidx = np.concatenate(out_q)
     return pa.table({
         "query_id": pa.array(index.query_ids[qidx]),
