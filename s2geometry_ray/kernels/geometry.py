@@ -244,15 +244,86 @@ def exact_det_sign(a, b, c) -> int:
     return (det > 0) - (det < 0)
 
 
-def sign(a, b, c) -> int:
+def _sos_combos():
+    """Simulation-of-simplicity term order (Edelsbrunner–Mücke 1990, the
+    scheme the S2 family's ExpensiveSign implements): coordinate j of
+    canonical point i is perturbed by ε^w with doubling weights
+    w(A.z)=1 ≪ w(A.y)=2 ≪ w(A.x)=4 ≪ w(B.z)=8 ≪ … ≪ w(C.x)=256, so
+    every monomial of perturbations has a unique total weight and the
+    expansion of det[A+δA, B+δB, C+δC] has a strict term order.  Each
+    combo replaces the chosen rows by unit vectors; evaluating the
+    resulting exact dets in weight order and taking the first nonzero
+    sign IS the symbolically perturbed sign.  The enumeration reproduces
+    the hand-derived S2 series (B×C components, c₀a₁−c₁a₀, c₀, −c₁, …)
+    including its provably-redundant terms, and ends at ±det of three
+    unit vectors — so the sign is NEVER zero for distinct points."""
+    weights = ((4, 2, 1), (32, 16, 8), (256, 128, 64))
+    combos = []
+    for ra in (None, 0, 1, 2):
+        for rb in (None, 0, 1, 2):
+            for rc in (None, 0, 1, 2):
+                w = sum(weights[r][cc] for r, cc in
+                        ((0, ra), (1, rb), (2, rc)) if cc is not None)
+                combos.append((w, (ra, rb, rc)))
+    combos.sort()
+    return tuple(combos)
+
+
+_SOS_COMBOS = _sos_combos()
+
+
+def symbolic_sign(a, b, c) -> int:
+    """CCW sign with SYMBOLIC PERTURBATION: exact rational sign when the
+    determinant is nonzero, otherwise the first non-vanishing term of
+    the simulation-of-simplicity ε-expansion — never returns 0 for
+    three distinct points (the S2 family's ExpensiveSign contract,
+    giving well-defined vertex-through-vertex parity).
+
+    Points are sorted lexicographically into canonical order first (the
+    perturbation attaches to point IDENTITY, not argument position), so
+    the predicate is antisymmetric under swaps and cyclic-invariant —
+    the properties boundary-consistency proofs need."""
+    from fractions import Fraction as F
+
+    pts = [tuple(map(float, p)) for p in (a, b, c)]
+    if len(set(pts)) < 3:
+        raise ValueError("symbolic_sign requires three distinct points")
+    order = sorted(range(3), key=lambda i: pts[i])
+    # permutation parity of the sort (3 elements: count inversions)
+    perm_sign = 1
+    seq = list(order)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            if seq[i] > seq[j]:
+                perm_sign = -perm_sign
+    rows = [tuple(F(x) for x in pts[i]) for i in order]
+    unit = ((F(1), F(0), F(0)), (F(0), F(1), F(0)), (F(0), F(0), F(1)))
+    for _w, reps in _SOS_COMBOS:
+        m = [unit[rep] if rep is not None else rows[r]
+             for r, rep in enumerate(reps)]
+        det = (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+               - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+               + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+        if det != 0:
+            return perm_sign * (1 if det > 0 else -1)
+    raise AssertionError("unreachable: full SoS expansion cannot vanish")
+
+
+def sign(a, b, c, perturb: bool = False) -> int:
     """Robust CCW sign of the triangle a→b→c: float triage, exact
-    fallback when |det| is inside the rounding-error band."""
+    fallback when |det| is inside the rounding-error band.  With
+    ``perturb=True`` a truly-zero determinant resolves by symbolic
+    perturbation instead of returning 0 (S21 complete; the 0-returning
+    default remains the documented policy the overlay machinery uses)."""
     det = dot(cross(a, b), c)
     if det > K_MAX_DET_ERROR:
         return 1
     if det < -K_MAX_DET_ERROR:
         return -1
-    return exact_det_sign(a, b, c)
+    s = exact_det_sign(a, b, c)
+    if s == 0 and perturb:
+        return symbolic_sign(a, b, c)
+    return s
 
 
 def robust_crossing(a, b, c, d) -> bool:

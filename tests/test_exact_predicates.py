@@ -132,3 +132,64 @@ def test_loop_pip_far_points_unaffected():
                                        np.abs(lng - 10), np.abs(lng - 20)]) > 0.5)
                    | (~((lat > 9) & (lat < 21) & (lng > 9) & (lng < 21))))
     assert (got[far] == approx[far]).all()
+
+
+class TestSymbolicPerturbation:
+    """S21 symbolic perturbation: never-zero, antisymmetric, cyclic,
+    and agreeing with the exact sign wherever that sign is nonzero."""
+
+    def test_agrees_with_exact_when_nonzero(self):
+        from s2geometry_ray.kernels.geometry import (exact_det_sign,
+                                                     symbolic_sign)
+        rng = np.random.default_rng(5)
+        for _ in range(200):
+            a, b, c = rng.normal(size=(3, 3))
+            a, b, c = (tuple(v / np.linalg.norm(v)) for v in (a, b, c))
+            e = exact_det_sign(a, b, c)
+            if e != 0:
+                assert symbolic_sign(a, b, c) == e
+
+    def test_never_zero_on_degenerate(self):
+        from s2geometry_ray.kernels.geometry import symbolic_sign
+        s3 = 1.0 / np.sqrt(3.0)
+        cases = [
+            # collinear on the equator (det exactly 0)
+            ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0)),
+            # c on the arc through a,b (coplanar with origin)
+            ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+             (np.sqrt(0.5), np.sqrt(0.5), 0.0)),
+            # shared-coordinate slivers
+            ((s3, s3, s3), (s3, s3, -s3), (s3, s3, 0.0)),
+            ((0.0, 0.0, 1.0), (0.0, 1.0, 0.0), (0.0, np.sqrt(0.5), np.sqrt(0.5))),
+        ]
+        for a, b, c in cases:
+            s = symbolic_sign(a, b, c)
+            assert s in (-1, 1), (a, b, c, s)
+
+    def test_antisymmetric_and_cyclic(self):
+        from s2geometry_ray.kernels.geometry import symbolic_sign
+        rng = np.random.default_rng(9)
+        cases = [((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0)),
+                 ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                  (np.sqrt(0.5), np.sqrt(0.5), 0.0))]
+        for _ in range(50):
+            v = rng.normal(size=(3, 3))
+            cases.append(tuple(tuple(r / np.linalg.norm(r)) for r in v))
+        for a, b, c in cases:
+            s = symbolic_sign(a, b, c)
+            assert symbolic_sign(b, c, a) == s          # cyclic
+            assert symbolic_sign(c, b, a) == -s         # swap
+            assert symbolic_sign(a, c, b) == -s
+
+    def test_sign_perturb_flag(self):
+        from s2geometry_ray.kernels.geometry import sign
+        a, b, c = (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0)
+        assert sign(a, b, c) == 0                      # documented policy
+        assert sign(a, b, c, perturb=True) in (-1, 1)  # S21 complete
+
+    def test_identical_points_raise(self):
+        import pytest
+        from s2geometry_ray.kernels.geometry import symbolic_sign
+        p = (1.0, 0.0, 0.0)
+        with pytest.raises(ValueError):
+            symbolic_sign(p, p, (0.0, 1.0, 0.0))
