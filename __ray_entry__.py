@@ -118,6 +118,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return minhash_candidate_pairs(_docs(sf))
 
+    def neardup_jaccard_docs(sf):
+        """MinHash-LSH candidates verified by EXACT n-gram Jaccard ≥ 0.5
+        (rows-only: LSH candidate recall is probabilistic, so a SQL twin
+        would flag missed candidates as mismatches; the verify stage's
+        exactness is pytest-pinned against brute shingle Jaccard)."""
+        from s2geometry_ray.functions.dedup import jaccard_verified_pairs
+
+        return jaccard_verified_pairs(_docs(sf), tau=0.5)
+
     def dedup_components_docs(sf):
         """Dedup CLUSTERING: connected components over the union of
         text-equal and prefix16-equal star-edge graphs → (doc_id, rep =
@@ -298,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "lang_id_docs": lang_id_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
+        "neardup_jaccard_docs": neardup_jaccard_docs,
         "dedup_components_docs": dedup_components_docs,
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,

@@ -418,6 +418,58 @@ def ngram_jaccard(texts_a: list[str], texts_b: list[str], width: int = 5) -> np.
     return out
 
 
+def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
+                           text_col: str = "text", key_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 16,
+                           scheme: str = "kperm", n_rows_hint=None):
+    """End-to-end n-gram-Jaccard near-dup operator: MinHash-LSH
+    candidate pairs, each verified by the EXACT character-shingle
+    Jaccard — the classic near-dup dedup pipeline (candidates are
+    probabilistic-recall LSH; every RETURNED pair is exactly ≥ τ).
+
+    → Dataset (key_a, key_b, jaccard_e4): similarity as an e4-scaled
+    int64 (deterministic across engines).  Texts reach the verify stage
+    via two hash joins on the candidate keys (the simhash verify plan) —
+    only candidate-pair texts are exchanged, never the corpus."""
+    from s2geometry_ray.scale import dataset_count_hint, derive_num_parts
+
+    if n_rows_hint is None:
+        n_rows_hint = dataset_count_hint(ds)
+    join_parts = derive_num_parts(n_rows_hint, rows_per_part=250_000)
+    cands = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands,
+                                    text_col=text_col, key_col=key_col,
+                                    scheme=scheme, n_rows_hint=n_rows_hint)
+
+    def as_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"key_{side}": t[key_col],
+                             f"text_{side}": t[text_col]})
+        return fn
+
+    ta = ds.map_batches(as_side("a"), batch_format="pyarrow").materialize()
+    tb = ds.map_batches(as_side("b"), batch_format="pyarrow").materialize()
+    joined = cands.join(ta, join_type="inner", num_partitions=join_parts,
+                        on=("key_a",)).materialize()
+    joined = joined.join(tb, join_type="inner", num_partitions=join_parts,
+                         on=("key_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            kt = t.schema.field("key_a").type
+            return pa.table({"key_a": pa.array([], type=kt),
+                             "key_b": pa.array([], type=kt),
+                             "jaccard_e4": pa.array([], type=pa.int64())})
+        jac = ngram_jaccard(t["text_a"].to_pylist(), t["text_b"].to_pylist(),
+                            width)
+        keep = jac >= tau
+        e4 = np.round(jac[keep] * 10_000).astype(np.int64)
+        return pa.table({"key_a": t["key_a"].filter(pa.array(keep)),
+                         "key_b": t["key_b"].filter(pa.array(keep)),
+                         "jaccard_e4": pa.array(e4)})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 # byte-class lookup for tokenization: ASCII [0-9A-Za-z_] plus every
 # byte ≥ 0x80 (any non-ASCII utf8 byte is treated as a word byte — an
 # ASCII-exact approximation of \w that needs no per-row regex)

@@ -274,6 +274,35 @@ def test_minhash_oph_finds_planted_duplicates(ray_session):
     assert recall >= 0.9, recall
 
 
+def test_jaccard_verified_pairs(ray_session):
+    """Every returned pair is EXACTLY >= tau (verified), the e4 value
+    matches brute shingle Jaccard, and planted near-dups are found."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import (_shingle_hashes,
+                                                jaccard_verified_pairs)
+
+    rng = np.random.default_rng(17)
+    words = [f"w{k}" for k in range(200)]
+    base = [" ".join(rng.choice(words, 50)) for _ in range(60)]
+    texts = base + [t + " extra tail" for t in base[:15]]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    out = jaccard_verified_pairs(ds, tau=0.5).to_pandas()
+    assert len(out) >= 15  # planted near-dups all well above 0.5
+    shingles = [set(_shingle_hashes(t).tolist()) for t in texts]
+    for a, b, e4 in zip(out["key_a"], out["key_b"], out["jaccard_e4"]):
+        sa, sb = shingles[int(a)], shingles[int(b)]
+        jac = len(sa & sb) / len(sa | sb)
+        assert jac >= 0.5
+        assert int(round(jac * 10_000)) == int(e4)
+    planted = {(i, 60 + i) for i in range(15)}
+    found = {(int(a), int(b)) for a, b in zip(out["key_a"], out["key_b"])}
+    assert len(found & planted) >= 14  # LSH recall on planted dups
+
+
 def test_simhash_pairs_exact_vs_brute(ray_session):
     """Multi-index banding is EXACT for hamming ≤ r (pigeonhole): the
     operator's pair set must equal the brute all-pairs computation."""
