@@ -233,8 +233,12 @@ def spatial_join_rect_hash(sf_dir: str):
     unbounded tile counts).  Gate-checked against the same SQL."""
     from s2geometry_ray.stages.spatial_join import spatial_join_hash_plan
 
+    import pyarrow.parquet as pq2
+
     tiles = _nation_tiles(sf_dir)
     pts = _points_ds(sf_dir)
+    n_events = pq2.read_metadata(f"{sf_dir}/events.parquet").num_rows
     out = spatial_join_hash_plan(pts, tiles, join_level=JOIN_LEVEL,
-                                 num_partitions=8, keep_cols=("event_id",))
+                                 keep_cols=("event_id",),
+                                 n_rows_hint=n_events)
     return out
