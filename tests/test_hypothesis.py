@@ -114,3 +114,54 @@ def test_polygon_boolean_membership_property(lat0, lng0, size, dlat, dlng, seed)
                else res.contains_points(pts))
         want = op(ina, inb)
         assert (got[margin] == want[margin]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(-35, 35), st.floats(-70, 70), st.integers(0, 2**32 - 1))
+def test_polygon_boolean_random_star_shapes(lat0, lng0, seed):
+    """Round-3 TODO: overlay membership algebra under random NON-axis-
+    aligned simple loops (angle-sorted star shapes with random radii —
+    arbitrary edge orientations), including difference."""
+    from s2geometry_ray.kernels.polygon_build import (
+        loop_difference, loop_intersection, loop_union, loops_to_polygon)
+    from s2geometry_ray.kernels.regions import LoopRegion
+
+    rng = np.random.default_rng(seed)
+
+    def star(la, ln, r):
+        k = int(rng.integers(5, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        if np.min(np.diff(ang)) < 0.15:  # avoid near-duplicate vertices
+            ang = np.linspace(0, 2 * np.pi, k, endpoint=False) \
+                + rng.uniform(0, 0.4, k)
+            ang = np.sort(ang)
+        rad = r * rng.uniform(0.55, 1.0, k)
+        lat = la + rad * np.sin(ang)
+        lng = ln + rad * np.cos(ang) / np.cos(np.radians(la))
+        return LoopRegion.from_latlng_degrees(list(zip(lat, lng)))
+
+    size = float(rng.uniform(5, 12))
+    A = star(lat0, lng0, size)
+    B = star(lat0 + rng.uniform(-0.6, 0.6) * size,
+             lng0 + rng.uniform(-0.6, 0.6) * size, size * 0.85)
+    lat = lat0 + rng.uniform(-1.8, 1.8, 600) * size
+    lng = lng0 + rng.uniform(-1.8, 1.8, 600) * size
+    phi, th = np.radians(lat), np.radians(lng)
+    pts = np.stack([np.cos(phi) * np.cos(th), np.cos(phi) * np.sin(th),
+                    np.sin(phi)], axis=1)
+    margin = np.ones(len(pts), dtype=bool)
+    for loop in (A, B):
+        v = loop.vertices
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            n = n / np.linalg.norm(n)
+            margin &= np.abs(pts @ n) > 5e-4
+    ina, inb = A.contains_points(pts), B.contains_points(pts)
+    for fn, op in ((loop_union, np.logical_or),
+                   (loop_intersection, np.logical_and),
+                   (loop_difference, lambda a, b: a & ~b)):
+        res = loops_to_polygon(fn(A, B))
+        got = (np.zeros(len(pts), dtype=bool) if res is None
+               else res.contains_points(pts))
+        want = op(ina, inb)
+        assert (got[margin] == want[margin]).all()
