@@ -41,12 +41,15 @@ def main() -> None:
     from s2geometry_ray.sources.io import read_table, write_table
     from s2geometry_ray.sources.tiles import regions_from_table
     from s2geometry_ray.stages.cell_assign import assign_cells
-    from s2geometry_ray.stages.spatial_join import CoveringIndex, make_spatial_join_fn
+    from s2geometry_ray.stages.spatial_join import (
+        build_covering_distributed, make_spatial_join_fn)
 
     tiles_tbl = pq.read_table(args.tiles)
     regions = regions_from_table(tiles_tbl)
-    index = CoveringIndex.build(regions, max_cells=args.max_cells,
-                                max_level=args.max_level)
+    # Ray-parallel covering build (the driver loop is the bottleneck at
+    # job-scale tile counts; pytest pins it equal to the driver build)
+    index = build_covering_distributed(regions, max_cells=args.max_cells,
+                                       max_level=args.max_level)
     ref = ray.put(index)
 
     pts = read_table(args.points)
