@@ -70,15 +70,82 @@ def candidate_cells_for_query(qxyz: np.ndarray, level: int, rings: int
     return sorted(cells), float(bound)
 
 
+# Safe upper bound on cell circumradius at level L: 0.5·deriv·2^-L.
+# (quadratic-projection max diagonal deriv ≈ 2.44; 2.6 adds margin —
+# verified against exact circumradii in tests/test_stages_ray.py)
+_CIRCUM_DERIV = 2.6
+
+
+def _expand_chunk(qxyz: np.ndarray, level: int, rings: int
+                  ) -> tuple[list[int], np.ndarray, list[int]]:
+    """Ring expansion for a CHUNK of queries → (cells, bounds, cell_q
+    with chunk-local query indices).  Vectorized ij-grid fast path for
+    queries whose (2r+3)² grid stays inside one cube face (exact
+    there); scalar neighbor-walk fallback near face edges, where the
+    family's fromFaceIJWrap only supports one-cell excursions.  Module-
+    level and array-in/array-out so QueryIndex can fan it out over Ray
+    tasks for large Q."""
+    q = qxyz.shape[0]
+    seeds = vk.parent(vk.from_xyz(qxyz), level)
+    face, i, j, _ = vk.to_face_ij_orientation(seeds)
+    size = 1 << (30 - level)
+    i0 = i & -size
+    j0 = j & -size
+    max_size = 1 << 30
+    pad = (rings + 1) * size
+    interior = ((i0 - pad >= 0) & (i0 + pad + size <= max_size)
+                & (j0 - pad >= 0) & (j0 + pad + size <= max_size))
+    bounds = np.empty(q)
+    all_cells: list[int] = []
+    cell_q: list[int] = []
+    idx_in = np.nonzero(interior)[0]
+    if idx_in.size:
+        r = rings
+        offs = np.arange(-r, r + 1) * size
+        di, dj = np.meshgrid(offs, offs, indexing="ij")
+        di, dj = di.ravel(), dj.ravel()
+        m = di.size
+        fq = np.repeat(face[idx_in], m)
+        iq = (i0[idx_in][:, None] + di[None, :]).ravel()
+        jq = (j0[idx_in][:, None] + dj[None, :]).ravel()
+        cells = vk.parent(vk.from_face_ij(fq, iq, jq), level)
+        all_cells.extend(cells.tolist())
+        cell_q.extend(np.repeat(idx_in, m).tolist())
+        # outer ring (chebyshev == r+1): centers give the bound
+        ooffs = np.arange(-(r + 1), r + 2) * size
+        odi, odj = np.meshgrid(ooffs, ooffs, indexing="ij")
+        ring_mask = np.maximum(np.abs(odi), np.abs(odj)) == (r + 1) * size
+        odi, odj = odi[ring_mask], odj[ring_mask]
+        mo = odi.size
+        fo = np.repeat(face[idx_in], mo)
+        io = (i0[idx_in][:, None] + odi[None, :]).ravel()
+        jo = (j0[idx_in][:, None] + odj[None, :]).ravel()
+        outer = vk.parent(vk.from_face_ij(fo, io, jo), level)
+        centers = vk.to_center_xyz(outer)
+        qrep = np.repeat(qxyz[idx_in], mo, axis=0)
+        ang = vk.angle(qrep, centers).reshape(idx_in.size, mo)
+        circum = 0.5 * _CIRCUM_DERIV * (2.0 ** (-level))
+        bounds[idx_in] = np.maximum(0.0, ang.min(axis=1) - circum)
+    for k in np.nonzero(~interior)[0]:
+        cells, b = candidate_cells_for_query(qxyz[k], level, rings)
+        all_cells.extend(cells)
+        cell_q.extend([int(k)] * len(cells))
+        bounds[k] = b
+    return all_cells, bounds, cell_q
+
+
+# fan QueryIndex construction out over Ray tasks above this many queries
+# (the scalar face-edge fallback is per-query Python; ~5% of uniformly
+# distributed queries hit it)
+_DISTRIBUTE_Q = 20_000
+
+
 class QueryIndex:
     """Broadcast side of the kNN: query ids, xyz matrix, and (for the
     pruned plan) the normalized union of candidate cell ranges plus the
     per-query completeness bound (as squared chord)."""
 
-    # Safe upper bound on cell circumradius at level L: 0.5·deriv·2^-L.
-    # (quadratic-projection max diagonal deriv ≈ 2.44; 2.6 adds margin —
-    # verified against exact circumradii in tests/test_stages_ray.py)
-    _CIRCUM_DERIV = 2.6
+    _CIRCUM_DERIV = _CIRCUM_DERIV
 
     def __init__(self, query_ids, qlat, qlng, level=None, rings=2):
         self.query_ids = np.asarray(query_ids)
@@ -108,56 +175,29 @@ class QueryIndex:
             self.csr_off = np.append(starts, len(sc)).astype(np.int64)
 
     def _expand_all(self, level: int, rings: int):
-        """Ring expansion for every query: vectorized ij-grid fast path for
-        queries whose (2r+3)² grid stays inside one cube face (exact
-        there); scalar neighbor-walk fallback near face edges, where the
-        family's fromFaceIJWrap only supports one-cell excursions."""
+        """Ring expansion for every query (see _expand_chunk).  Above
+        _DISTRIBUTE_Q queries the chunks fan out over Ray tasks (the
+        scalar face-edge fallback is per-query Python — a driver loop
+        at Q ≫ 1e5 was the round-3 TODO); results concatenate with
+        chunk-local query indices rebased to global."""
         q = len(self.query_ids)
-        seeds = vk.parent(vk.from_xyz(self.qxyz), level)
-        face, i, j, _ = vk.to_face_ij_orientation(seeds)
-        size = 1 << (30 - level)
-        i0 = i & -size
-        j0 = j & -size
-        max_size = 1 << 30
-        pad = (rings + 1) * size
-        interior = ((i0 - pad >= 0) & (i0 + pad + size <= max_size)
-                    & (j0 - pad >= 0) & (j0 + pad + size <= max_size))
-        bounds = np.empty(q)
+        if q < _DISTRIBUTE_Q:
+            return _expand_chunk(self.qxyz, level, rings)
+        import ray
+
+        if not ray.is_initialized():
+            return _expand_chunk(self.qxyz, level, rings)
+        chunk = max(4096, -(-q // 64))
+        fn = ray.remote(_expand_chunk)
+        refs = [fn.remote(self.qxyz[s : s + chunk], level, rings)
+                for s in range(0, q, chunk)]
         all_cells: list[int] = []
         cell_q: list[int] = []
-        idx_in = np.nonzero(interior)[0]
-        if idx_in.size:
-            r = rings
-            offs = np.arange(-r, r + 1) * size
-            di, dj = np.meshgrid(offs, offs, indexing="ij")
-            di, dj = di.ravel(), dj.ravel()
-            m = di.size
-            fq = np.repeat(face[idx_in], m)
-            iq = (i0[idx_in][:, None] + di[None, :]).ravel()
-            jq = (j0[idx_in][:, None] + dj[None, :]).ravel()
-            cells = vk.parent(vk.from_face_ij(fq, iq, jq), level)
-            all_cells.extend(cells.tolist())
-            cell_q.extend(np.repeat(idx_in, m).tolist())
-            # outer ring (chebyshev == r+1): centers give the bound
-            ooffs = np.arange(-(r + 1), r + 2) * size
-            odi, odj = np.meshgrid(ooffs, ooffs, indexing="ij")
-            ring_mask = np.maximum(np.abs(odi), np.abs(odj)) == (r + 1) * size
-            odi, odj = odi[ring_mask], odj[ring_mask]
-            mo = odi.size
-            fo = np.repeat(face[idx_in], mo)
-            io = (i0[idx_in][:, None] + odi[None, :]).ravel()
-            jo = (j0[idx_in][:, None] + odj[None, :]).ravel()
-            outer = vk.parent(vk.from_face_ij(fo, io, jo), level)
-            centers = vk.to_center_xyz(outer)
-            qrep = np.repeat(self.qxyz[idx_in], mo, axis=0)
-            ang = vk.angle(qrep, centers).reshape(idx_in.size, mo)
-            circum = 0.5 * self._CIRCUM_DERIV * (2.0 ** (-level))
-            bounds[idx_in] = np.maximum(0.0, ang.min(axis=1) - circum)
-        for k in np.nonzero(~interior)[0]:
-            cells, b = candidate_cells_for_query(self.qxyz[k], level, rings)
+        bounds = np.empty(q)
+        for s, (cells, b, cq) in zip(range(0, q, chunk), ray.get(refs)):
             all_cells.extend(cells)
-            cell_q.extend([int(k)] * len(cells))
-            bounds[k] = b
+            cell_q.extend(c + s for c in cq)
+            bounds[s : s + len(b)] = b
         return all_cells, bounds, cell_q
 
     def member_mask(self, leaf: np.ndarray) -> np.ndarray:

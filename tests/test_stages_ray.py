@@ -801,3 +801,26 @@ def test_covering_deterministic():
     r = CapRegion.from_latlng_radius(1.5, 2.5, 0.04)
     assert get_covering(r, max_cells=24, max_level=14) == \
         get_covering(r, max_cells=24, max_level=14)
+
+
+def test_query_index_distributed_build_matches(ray_session, monkeypatch):
+    """QueryIndex built via the Ray-task fan-out must be identical to
+    the driver-loop build (forced by lowering the distribute threshold
+    below the fixture's query count)."""
+    from s2geometry_ray.stages import knn as K
+
+    rng = np.random.default_rng(3)
+    qlat = rng.uniform(-85, 85, 300)
+    qlng = rng.uniform(-180, 180, 300)
+    ids = np.arange(300, dtype=np.int64)
+    a = K.QueryIndex(ids, qlat, qlng, level=5, rings=2)
+    monkeypatch.setattr(K, "_DISTRIBUTE_Q", 10)
+    b = K.QueryIndex(ids, qlat, qlng, level=5, rings=2)
+    assert (a.bounds_chord2 == b.bounds_chord2).all()
+    assert (a.range_min == b.range_min).all()
+    assert (a.range_max == b.range_max).all()
+    assert (a.csr_cells == b.csr_cells).all()
+    assert (a.csr_off == b.csr_off).all()
+    # csr_q order within a cell may differ between builds only if sort
+    # stability differs — both use stable argsort on identical arrays
+    assert (a.csr_q == b.csr_q).all()
