@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_window_counts(sf):
         return T.events_window_counts(sf)
 
+    def events_hopping_counts(sf):
+        return T.events_hopping_counts(sf)
+
     def spatial_join_rect(sf):
         return F.spatial_join_rect(sf)
 
@@ -99,7 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from s2geometry_ray.functions.text import TokenStats
 
         out = _docs(sf).map_batches(TokenStats, batch_format="pandas", concurrency=2)
-        return out.select_columns(["doc_id", "n_tokens", "n_punct", "text_len"])
+        return out.select_columns(["doc_id", "n_tokens", "n_punct", "text_len",
+                                   "n_bpe_tokens"])
 
     def doc_quality(sf):
         from s2geometry_ray.functions.text import QualityScore
@@ -293,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "customer_order_stats": customer_order_stats,
         "events_window_counts": events_window_counts,
+        "events_hopping_counts": events_hopping_counts,
         "spatial_join_rect": spatial_join_rect,
         "spatial_join_rect_hash": spatial_join_rect_hash,
         "tile_assign_counts": tile_assign_counts,
@@ -336,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,
         "events_window_counts": T.EVENTS_WINDOW_SQL,
+        "events_hopping_counts": T.EVENTS_HOPPING_SQL,
         "spatial_join_rect": F.spatial_join_sql(),
         "spatial_join_rect_hash": F.spatial_join_sql(),
         "tile_assign_counts": F.tile_assign_counts_sql(),
@@ -356,7 +362,10 @@ FROM documents GROUP BY substr(text, 1, 16)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
-       CAST(length(text) AS BIGINT) AS text_len
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(regexp_extract_all(text,
+            '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+            AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
         "doc_quality": """

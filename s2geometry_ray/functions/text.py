@@ -16,15 +16,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# GPT-2-style pre-tokenizer classes, simplified to an RE2-compatible
+# form so the DuckDB oracle runs the IDENTICAL pattern: contractions,
+# space-prefixed letter runs, digit runs, symbol runs, whitespace runs.
+# Counting these pieces is the standard cheap proxy for BPE token cost.
+BPE_ISH_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 class TokenStats:
-    """Per-doc token/char/punct counts.  DuckDB twin:
-    length(regexp_extract_all(text, '\\S+')) etc."""
+    """Per-doc token/char/punct counts + a BPE-ish subword-piece count.
+    DuckDB twin: length(regexp_extract_all(text, '\\S+')) etc.; the
+    BPE-ish column uses BPE_ISH_PATTERN verbatim on both engines
+    (pinned RE2/Python parity)."""
 
     def __init__(self):
         import re
 
         self.token_re = re.compile(r"\S+")
         self.punct_re = re.compile(r"[.,!?;:]")
+        self.bpe_re = re.compile(BPE_ISH_PATTERN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].astype(str)
@@ -32,6 +42,7 @@ class TokenStats:
         batch["n_tokens"] = text.str.count(self.token_re).astype("int64")
         batch["n_punct"] = text.str.count(self.punct_re).astype("int64")
         batch["text_len"] = text.str.len().astype("int64")
+        batch["n_bpe_tokens"] = text.str.count(self.bpe_re).astype("int64")
         return batch
 
 

@@ -178,3 +178,55 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, day_bucket
 """
+
+
+def events_hopping_counts(sf_dir: str, length_days: int = 2,
+                          hop_days: int = 1):
+    """HOPPING (overlapping) window per event_type: length 2 days, hop 1
+    day — each event contributes to length/hop windows, emitted
+    map-side as (event_type, window_start) partial rows so the shuffle
+    carries pre-aggregated counts, never the ×(length/hop) row blowup
+    (SURVEY.md §3.6: windows = grouped aggregates over derived keys)."""
+    if length_days % hop_days:
+        raise ValueError("length must be a multiple of hop")
+    n_win = length_days // hop_days
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        d = (ts // _US_PER_DAY) // hop_days * hop_days
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        et = np.asarray(batch["event_type"])
+        df = pd.DataFrame({
+            "event_type": np.tile(et, n_win),
+            "window_start": np.concatenate(
+                [d - k * hop_days for k in range(n_win)]),
+            "value_cents": np.tile(cents, n_win),
+        })
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value_cents", "size"), value_cents=("value_cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return combine_partials(partials, ["event_type", "window_start"],
+                            {"n": "sum", "value_cents": "sum"})
+
+
+EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (SELECT event_type, d AS window_start, cents FROM e
+      UNION ALL
+      SELECT event_type, d - 1 AS window_start, cents FROM e)
+SELECT event_type, CAST(window_start AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM w GROUP BY event_type, window_start
+"""
