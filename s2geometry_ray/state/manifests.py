@@ -169,18 +169,37 @@ def _ensure_input_shards(src: str, shard_dir: str, num: int,
                 shard += 1
     if writer is not None:
         writer.close()
-    # empty tail shards (more shards than rows)
+    # empty tail shards (more shards than rows) — keep the SOURCE schema
+    # so readers never see a dtype flip on empty shards
+    src_schema = pq.read_schema(src)
+    empty_schema = pa.schema([src_schema.field(c) for c in columns])
     for i in range(num):
         p = os.path.join(tmp, f"shard-{i:03d}.parquet")
         if not os.path.exists(p):
-            pq.write_table(pa.table({c: pa.array([], type=pa.int64())
-                                     for c in columns}), p)
+            pq.write_table(empty_schema.empty_table(), p)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
         fh.write("ok")
     if os.path.isdir(shard_dir):
         shutil.rmtree(shard_dir)
     os.replace(tmp, shard_dir)
     return paths
+
+
+def _fragment_sources(src: str, num: int, columns: list[str],
+                      shard_parent_dir: str) -> list[tuple]:
+    """Partition an input file into ``num`` fragment sources: contiguous
+    row-group ranges when the file has enough of them, else a one-time
+    resume-safe shard split (see _ensure_input_shards)."""
+    pf = pq.ParquetFile(src)
+    n_rg = pf.metadata.num_row_groups
+    if n_rg >= num:
+        return [("rowgroups", src,
+                 list(range(n_rg * b // num, n_rg * (b + 1) // num)))
+                for b in range(num)]
+    os.makedirs(shard_parent_dir, exist_ok=True)
+    shard_paths = _ensure_input_shards(
+        src, os.path.join(shard_parent_dir, "_input_shards"), num, columns)
+    return [("shard", p, None) for p in shard_paths]
 
 
 def _join_fragment_task(source, out_dir: str, name: str, index) -> dict:
@@ -220,18 +239,7 @@ def spatial_join_partitioned(sf_dir: str, out_dir: str, num_buckets: int = 8,
     from s2geometry_ray.stages.spatial_join import CoveringIndex
 
     src = f"{sf_dir}/events.parquet"
-    pf = pq.ParquetFile(src)
-    n_rg = pf.metadata.num_row_groups
-    sources: list[tuple] = []
-    if n_rg >= num_buckets:
-        for b in range(num_buckets):
-            rgs = list(range(n_rg * b // num_buckets, n_rg * (b + 1) // num_buckets))
-            sources.append(("rowgroups", src, rgs))
-    else:
-        os.makedirs(out_dir, exist_ok=True)
-        shard_paths = _ensure_input_shards(
-            src, os.path.join(out_dir, "_input_shards"), num_buckets, ["event_id"])
-        sources = [("shard", p, None) for p in shard_paths]
+    sources = _fragment_sources(src, num_buckets, ["event_id"], out_dir)
 
     done = finished_partitions(out_dir)
     names = [f"b{b:03d}" for b in range(num_buckets)]
@@ -250,3 +258,126 @@ def spatial_join_partitioned(sf_dir: str, out_dir: str, num_buckets: int = 8,
     if crash:
         raise RuntimeError("simulated crash")
     return done
+
+
+# ---------------------------------------------------------------------------
+# Resumable SHUFFLE: checkpointed map partials + checkpointed reduce buckets
+# ---------------------------------------------------------------------------
+
+
+def _tile_map_task(source, map_dir: str, name: str, index,
+                   num_buckets: int) -> dict:
+    """Map stage of the resumable tile-assign shuffle: one input
+    fragment → join rows → per-(bucket, tile_key) PRE-AGGREGATED
+    partials (the shuffle ships aggregates, never join rows), written
+    atomically with a manifest."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_ray.stages.cell_assign import (assign_cells,
+                                                   derive_geotag_batch)
+    from s2geometry_ray.stages.spatial_join import SpatialJoinActor
+
+    kind, path, detail = source
+    if kind == "shard":
+        t = pq.read_table(path)
+    else:
+        t = pq.ParquetFile(path).read_row_groups(
+            detail, columns=["event_id", "value"])
+    t = assign_cells(derive_geotag_batch(t, "event_id"), levels=())
+    joined = SpatialJoinActor(index, ["event_id", "value"])(t)
+    cents = np.round(joined["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+    tk = joined["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pd.DataFrame({"tile_key": tk, "cents": cents}).groupby(
+        "tile_key", as_index=False).agg(n=("cents", "size"),
+                                        value_cents=("cents", "sum"))
+    df["bucket"] = (df["tile_key"].to_numpy().astype(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int64)
+    out = pa.Table.from_pandas(
+        df[["bucket", "tile_key", "n", "value_cents"]], preserve_index=False)
+    return write_partition(map_dir, name, out, ["bucket", "tile_key"])
+
+
+def _tile_reduce_task(map_part_dirs: list[str], red_dir: str, name: str,
+                      bucket: int) -> dict:
+    """Reduce stage: read ONLY this bucket's rows from every map
+    partition (parquet predicate pushdown on the sorted bucket column),
+    final per-tile aggregate, atomic write + manifest."""
+    import pandas as pd
+
+    tables = [pq.read_table(os.path.join(d, "data.parquet"),
+                            filters=[("bucket", "==", bucket)])
+              for d in map_part_dirs]
+    allt = pa.concat_tables(tables)
+    if allt.num_rows == 0:
+        out = pa.table({"tile_key": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                        "value_cents": pa.array([], type=pa.int64())})
+    else:
+        g = allt.to_pandas().groupby("tile_key", as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum"))
+        out = pa.Table.from_pandas(g, preserve_index=False)
+    return write_partition(red_dir, name, out, ["tile_key"])
+
+
+def tile_assign_partitioned(sf_dir: str, out_dir: str, num_map: int = 6,
+                            num_buckets: int = 4,
+                            fail_after_map: int | None = None,
+                            fail_after_reduce: int | None = None):
+    """Tile assignment as a RESUMABLE SHUFFLE (the north-star's
+    "resumes mid-shuffle" clause): a checkpointed map stage (input
+    fragment → bucketed pre-aggregated partials + manifest) feeding a
+    checkpointed reduce stage (bucket → final per-tile aggregate +
+    manifest).  A crash in EITHER stage resumes at per-partition
+    granularity: finished map partials are never recomputed, finished
+    reduce buckets never re-read their inputs.  Both stages are
+    deterministic, so a resumed run is byte-identical (pytest-pinned).
+    Output lands on the local FS here; on a multi-node cluster
+    ``out_dir`` must be shared storage."""
+    import ray
+
+    from s2geometry_ray.pipelines.flagship import _nation_tiles
+    from s2geometry_ray.stages.spatial_join import CoveringIndex
+
+    map_dir = os.path.join(out_dir, "map")
+    red_dir = os.path.join(out_dir, "reduce")
+    src = f"{sf_dir}/events.parquet"
+    sources = _fragment_sources(src, num_map, ["event_id", "value"], out_dir)
+
+    # --- map stage ---
+    done_m = finished_partitions(map_dir)
+    m_names = [f"m{b:03d}" for b in range(num_map)]
+    pending = [b for b in range(num_map) if m_names[b] not in done_m]
+    crash_m = fail_after_map is not None and len(pending) > fail_after_map
+    if fail_after_map is not None:
+        pending = pending[:fail_after_map]
+    if pending:
+        tiles = _nation_tiles(sf_dir)
+        index_ref = ray.put(CoveringIndex.build(tiles, max_cells=64,
+                                                max_level=14))
+        task = ray.remote(_tile_map_task)
+        for m in ray.get([task.remote(sources[b], map_dir, m_names[b],
+                                      index_ref, num_buckets)
+                          for b in pending]):
+            done_m[m["partition"]] = m
+    if crash_m:
+        raise RuntimeError("simulated crash (map)")
+
+    # --- reduce stage ---
+    map_part_dirs = [done_m[n]["path"] for n in m_names]
+    done_r = finished_partitions(red_dir)
+    r_names = [f"b{b:03d}" for b in range(num_buckets)]
+    pending_r = [b for b in range(num_buckets) if r_names[b] not in done_r]
+    crash_r = (fail_after_reduce is not None
+               and len(pending_r) > fail_after_reduce)
+    if fail_after_reduce is not None:
+        pending_r = pending_r[:fail_after_reduce]
+    if pending_r:
+        task = ray.remote(_tile_reduce_task)
+        for m in ray.get([task.remote(map_part_dirs, red_dir, r_names[b], b)
+                          for b in pending_r]):
+            done_r[m["partition"]] = m
+    if crash_r:
+        raise RuntimeError("simulated crash (reduce)")
+    return done_r

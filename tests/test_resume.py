@@ -121,3 +121,71 @@ def test_partitioned_cell_output(tmp_path, ray_session):
     back = pq.read_table(out)
     assert back.num_rows == 5000
     assert set(back["pt_key"].to_pylist()) == set(range(5000))
+
+
+def test_shuffle_crash_resume_identical(tmp_path, ray_session):
+    """The resumable SHUFFLE (map partials + reduce buckets): crashes in
+    the map stage AND in the reduce stage both resume to byte-identical
+    output with no recomputation of finished partitions, and the final
+    aggregate matches the oracle computed in-process."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_ray.state.manifests import tile_assign_partitioned
+
+    full_dir = str(tmp_path / "full")
+    crash_dir = str(tmp_path / "crash")
+
+    done = tile_assign_partitioned(SF, full_dir, num_map=5, num_buckets=3)
+    assert len(done) == 3
+
+    # crash mid-MAP (2 of 5 map partials finish)
+    with pytest.raises(RuntimeError, match="simulated crash .map."):
+        tile_assign_partitioned(SF, crash_dir, num_map=5, num_buckets=3,
+                                fail_after_map=2)
+    assert len(finished_partitions(os.path.join(crash_dir, "map"))) == 2
+    assert len(finished_partitions(os.path.join(crash_dir, "reduce"))) == 0
+
+    # crash mid-REDUCE (map complete, 1 of 3 buckets finishes)
+    with pytest.raises(RuntimeError, match="simulated crash .reduce."):
+        tile_assign_partitioned(SF, crash_dir, num_map=5, num_buckets=3,
+                                fail_after_reduce=1)
+    m_mtimes = {n: os.path.getmtime(m["path"]) for n, m in
+                finished_partitions(os.path.join(crash_dir, "map")).items()}
+    assert len(m_mtimes) == 5
+    assert len(finished_partitions(os.path.join(crash_dir, "reduce"))) == 1
+
+    # resume to completion: nothing finished is recomputed
+    done2 = tile_assign_partitioned(SF, crash_dir, num_map=5, num_buckets=3)
+    assert len(done2) == 3
+    for n, t0 in m_mtimes.items():
+        got = finished_partitions(os.path.join(crash_dir, "map"))[n]
+        assert os.path.getmtime(got["path"]) == t0, f"map {n} recomputed"
+
+    # byte-identical to the uninterrupted run
+    assert (_output_bytes(os.path.join(crash_dir, "reduce"))
+            == _output_bytes(os.path.join(full_dir, "reduce")))
+
+    # values match an independent in-process oracle
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng, tile_bounds
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    k = ev["event_id"].to_numpy(zero_copy_only=False)
+    lat, lng = derive_lat(k), derive_lng(k)
+    cents = np.round(ev["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    nk = pq.read_table(f"{SF}/nation.parquet", columns=["n_nationkey"])
+    tk = nk["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tile_bounds(tk)
+    rows = []
+    for i, t in enumerate(tk):
+        inside = ((lat >= b["lat_lo"][i]) & (lat <= b["lat_hi"][i])
+                  & (lng >= b["lng_lo"][i]) & (lng <= b["lng_hi"][i]))
+        if inside.any():
+            rows.append((int(t), int(inside.sum()), int(cents[inside].sum())))
+    want = pd.DataFrame(rows, columns=["tile_key", "n", "value_cents"]) \
+        .sort_values("tile_key").reset_index(drop=True)
+    from s2geometry_ray.state.manifests import read_output
+
+    got = read_output(os.path.join(crash_dir, "reduce")).to_pandas() \
+        .sort_values("tile_key").reset_index(drop=True)
+    assert got.equals(want)
