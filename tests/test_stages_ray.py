@@ -824,3 +824,23 @@ def test_query_index_distributed_build_matches(ray_session, monkeypatch):
     # csr_q order within a cell may differ between builds only if sort
     # stability differs — both use stable argsort on identical arrays
     assert (a.csr_q == b.csr_q).all()
+
+
+def test_dataset_count_hint(ray_session):
+    """Metadata-cheap count on bare reads; None once transforms exist
+    (counting would execute the plan).  Pins the private-API probe in
+    scale.py against Ray version drift."""
+    import ray.data as rd
+
+    from s2geometry_ray.scale import dataset_count_hint, derive_num_parts
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    n = dataset_count_hint(ds)
+    assert n == ds.count() and n > 0
+    transformed = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    assert dataset_count_hint(transformed) is None
+    # derive_num_parts contract
+    assert derive_num_parts(None) == 32
+    assert derive_num_parts(10) == 8
+    assert derive_num_parts(10_000_000, rows_per_part=100_000) == 100
+    assert derive_num_parts(10**12, rows_per_part=100_000) == 1024
