@@ -78,8 +78,10 @@ def table_fingerprint(table: pa.Table, sort_keys: list[str]) -> str:
 
 
 def write_partition(out_dir: str, name: str, table: pa.Table,
-                    sort_keys: list[str]) -> dict:
-    """Atomically write one partition + its manifest; idempotent."""
+                    sort_keys: list[str], extra: dict | None = None) -> dict:
+    """Atomically write one partition + its manifest; idempotent.
+    ``extra`` fields (e.g. the partition's cell range) merge into the
+    manifest."""
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     part_dir = os.path.join(out_dir, f"part-{name}")
@@ -99,6 +101,7 @@ def write_partition(out_dir: str, name: str, table: pa.Table,
         "row_count": table.num_rows,
         "fingerprint": table_fingerprint(table, sort_keys),
         "path": part_dir,
+        **(extra or {}),
     }
     mpath = os.path.join(_manifest_dir(out_dir), f"{name}.json")
     with open(mpath + ".tmp", "w") as fh:
@@ -376,6 +379,124 @@ def tile_assign_partitioned(sf_dir: str, out_dir: str, num_map: int = 6,
     if pending_r:
         task = ray.remote(_tile_reduce_task)
         for m in ray.get([task.remote(map_part_dirs, red_dir, r_names[b], b)
+                          for b in pending_r]):
+            done_r[m["partition"]] = m
+    if crash_r:
+        raise RuntimeError("simulated crash (reduce)")
+    return done_r
+
+
+# ---------------------------------------------------------------------------
+# Cell-range-partitioned output: the north-star's "cell-range manifests"
+# ---------------------------------------------------------------------------
+
+
+def cell_range_bounds(num_buckets: int) -> "list[int]":
+    """num_buckets+1 contiguous Hilbert boundaries over the full leaf
+    id space [0, 6·2⁶¹): every bucket is one cell RANGE, so a bucket's
+    rows are spatially local (Hilbert prefix locality) and its manifest
+    can state the range it owns."""
+    total = 6 << 61
+    return [total * i // num_buckets for i in range(num_buckets + 1)]
+
+
+def _cell_stats_map_task(source, map_dir: str, name: str, level: int,
+                         bounds: "list[int]") -> dict:
+    """Map stage: one input fragment → per-(bucket, cell_lK) partial
+    counts/sums; bucket = the cell's Hilbert range (searchsorted)."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_ray.stages.cell_assign import (assign_cells,
+                                                   derive_geotag_batch)
+
+    kind, path, detail = source
+    if kind == "shard":
+        t = pq.read_table(path)
+    else:
+        t = pq.ParquetFile(path).read_row_groups(
+            detail, columns=["event_id", "value"])
+    t = assign_cells(derive_geotag_batch(t, "event_id"), levels=(level,))
+    cell = t[f"cell_l{level}"].to_numpy(zero_copy_only=False)
+    cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+    b = np.asarray(bounds, dtype=np.uint64)
+    bucket = (np.searchsorted(b, cell, side="right") - 1).astype(np.int64)
+    df = pd.DataFrame({"bucket": bucket,
+                       "cell": cell.view(np.int64),  # int64 bit-view key
+                       "cents": cents}).groupby(
+        ["bucket", "cell"], as_index=False).agg(
+        n=("cents", "size"), value_cents=("cents", "sum"))
+    out = pa.Table.from_pandas(df, preserve_index=False)
+    return write_partition(map_dir, name, out, ["bucket", "cell"])
+
+
+def _cell_stats_reduce_task(map_part_dirs: "list[str]", red_dir: str,
+                            name: str, bucket: int, lo: int, hi: int) -> dict:
+    """Reduce stage: aggregate ONE cell range across all map partials;
+    the manifest records the [lo, hi) Hilbert range this partition owns."""
+    import pandas as pd
+
+    tables = [pq.read_table(os.path.join(d, "data.parquet"),
+                            filters=[("bucket", "==", bucket)])
+              for d in map_part_dirs]
+    allt = pa.concat_tables(tables)
+    if allt.num_rows == 0:
+        out = pa.table({"cell": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                        "value_cents": pa.array([], type=pa.int64())})
+    else:
+        g = allt.to_pandas().groupby("cell", as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum"))
+        out = pa.Table.from_pandas(g[["cell", "n", "value_cents"]],
+                                   preserve_index=False)
+    return write_partition(red_dir, name, out, ["cell"],
+                           extra={"cell_range": [int(lo), int(hi)]})
+
+
+def cell_stats_partitioned(sf_dir: str, out_dir: str, level: int = 8,
+                           num_map: int = 6, num_buckets: int = 4,
+                           fail_after_map: int | None = None,
+                           fail_after_reduce: int | None = None):
+    """Per-cell stats as a resumable shuffle whose REDUCE partitions are
+    contiguous Hilbert CELL RANGES — each reduce manifest records
+    {cell_range: [lo, hi), row_count, fingerprint}, the literal
+    "cell-range manifests + row counts" lineage of the task spec.
+    Crash/resume semantics identical to tile_assign_partitioned."""
+    import ray
+
+    map_dir = os.path.join(out_dir, "map")
+    red_dir = os.path.join(out_dir, "reduce")
+    src = f"{sf_dir}/events.parquet"
+    sources = _fragment_sources(src, num_map, ["event_id", "value"], out_dir)
+    bounds = cell_range_bounds(num_buckets)
+
+    done_m = finished_partitions(map_dir)
+    m_names = [f"m{b:03d}" for b in range(num_map)]
+    pending = [b for b in range(num_map) if m_names[b] not in done_m]
+    crash_m = fail_after_map is not None and len(pending) > fail_after_map
+    if fail_after_map is not None:
+        pending = pending[:fail_after_map]
+    if pending:
+        task = ray.remote(_cell_stats_map_task)
+        for m in ray.get([task.remote(sources[b], map_dir, m_names[b],
+                                      level, bounds) for b in pending]):
+            done_m[m["partition"]] = m
+    if crash_m:
+        raise RuntimeError("simulated crash (map)")
+
+    map_part_dirs = [done_m[n]["path"] for n in m_names]
+    done_r = finished_partitions(red_dir)
+    r_names = [f"r{b:03d}" for b in range(num_buckets)]
+    pending_r = [b for b in range(num_buckets) if r_names[b] not in done_r]
+    crash_r = (fail_after_reduce is not None
+               and len(pending_r) > fail_after_reduce)
+    if fail_after_reduce is not None:
+        pending_r = pending_r[:fail_after_reduce]
+    if pending_r:
+        task = ray.remote(_cell_stats_reduce_task)
+        for m in ray.get([task.remote(map_part_dirs, red_dir, r_names[b], b,
+                                      bounds[b], bounds[b + 1])
                           for b in pending_r]):
             done_r[m["partition"]] = m
     if crash_r:

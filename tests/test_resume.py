@@ -189,3 +189,57 @@ def test_shuffle_crash_resume_identical(tmp_path, ray_session):
     got = read_output(os.path.join(crash_dir, "reduce")).to_pandas() \
         .sort_values("tile_key").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_cell_range_manifests(tmp_path, ray_session):
+    """Cell-range-partitioned stats: each reduce manifest records the
+    contiguous Hilbert [lo, hi) range it owns; rows land in the right
+    range; crash/resume is byte-identical; totals match an in-process
+    oracle."""
+    import numpy as np
+
+    from s2geometry_ray.state.manifests import (cell_range_bounds,
+                                                cell_stats_partitioned,
+                                                read_output)
+
+    full_dir = str(tmp_path / "full")
+    crash_dir = str(tmp_path / "crash")
+    done = cell_stats_partitioned(SF, full_dir, level=8, num_map=4,
+                                  num_buckets=3)
+    assert len(done) == 3
+    bounds = cell_range_bounds(3)
+    total_rows = 0
+    for name, m in sorted(done.items()):
+        lo, hi = m["cell_range"]
+        b = int(name[1:])
+        assert (lo, hi) == (bounds[b], bounds[b + 1])
+        t = pq.read_table(m["path"])
+        cells = t["cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+        assert ((cells >= np.uint64(lo)) & (cells < np.uint64(hi))).all()
+        assert m["row_count"] == t.num_rows
+        total_rows += int(t["n"].to_numpy(zero_copy_only=False).sum())
+
+    # every event lands in exactly one cell partition
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    assert total_rows == ev.num_rows
+
+    # in-process oracle: counts per level-8 cell via the pinned kernels
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    k = ev["event_id"].to_numpy(zero_copy_only=False)
+    cell8 = vk.parent(vk.from_latlng(derive_lat(k), derive_lng(k)), 8)
+    want_cells, want_n = np.unique(cell8, return_counts=True)
+    got = read_output(str(tmp_path / "full" / "reduce"))
+    gc = got["cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.argsort(gc)
+    assert np.array_equal(gc[order], want_cells)
+    assert np.array_equal(got["n"].to_numpy(zero_copy_only=False)[order], want_n)
+
+    # crash mid-map, then resume: byte-identical
+    with pytest.raises(RuntimeError, match="simulated crash .map."):
+        cell_stats_partitioned(SF, crash_dir, level=8, num_map=4,
+                               num_buckets=3, fail_after_map=1)
+    cell_stats_partitioned(SF, crash_dir, level=8, num_map=4, num_buckets=3)
+    assert (_output_bytes(os.path.join(crash_dir, "reduce"))
+            == _output_bytes(os.path.join(full_dir, "reduce")))
