@@ -385,6 +385,40 @@ def main() -> None:
                           "unit": "sec", "detail": r, "sf": sf_dir,
                           "num_cpus": num_cpus}))
         return
+    if "--stats" in sys.argv:
+        # BASELINE.md protocol step 4: per-stage ds.stats() breakdown
+        # for the record.  Usage: python bench.py --stats [query ...]
+        import logging
+
+        import ray
+
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "__ray_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        queries = mod.queries()
+        names = [a for a in sys.argv[sys.argv.index("--stats") + 1:]
+                 if not a.startswith("-")] or [
+            "spatial_join_rect", "tile_assign_counts", "knn_events"]
+        for name in names:
+            res = queries[name](sf_dir)
+            if hasattr(res, "materialize"):
+                res = res.materialize()
+                print(f"===== {name} =====")
+                print(res.stats())
+            else:
+                print(f"===== {name} ===== (driver-side result; no stats)")
+        ray.shutdown()
+        return
     if "--scaling-child" in sys.argv:
         import logging
 
