@@ -11,9 +11,13 @@ tool measures leaf-cell assignment throughput three ways:
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
