@@ -386,6 +386,9 @@ FROM (SELECT qid, vec_id,
       FROM d)
 WHERE rn <= 20
 """,
+        "lang_id_docs": __import__(
+            "s2geometry_ray.functions.text", fromlist=["lang_id_sql"]
+        ).lang_id_sql(),
         "dedup_components_docs": """
 WITH RECURSIVE
 e1 AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b

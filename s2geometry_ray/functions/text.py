@@ -128,6 +128,31 @@ class LangId:
         return batch
 
 
+def lang_id_sql(table: str = "documents") -> str:
+    """DuckDB twin of LangId: per-language trigram-presence sums with
+    first-wins ties in profile order and all-zero → 'unknown' —
+    generated from the SAME _LANG_TRIGRAMS profiles the engine uses, so
+    the two can never drift."""
+    langs = list(_LANG_TRIGRAMS)
+    scores = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN contains(lower(text), '{tri}') THEN 1 ELSE 0 END"
+            for tri in _LANG_TRIGRAMS[lang]) + f") AS s_{lang}"
+        for lang in langs)
+    best = ", ".join(f"s_{lang}" for lang in langs)
+    branches = " ".join(
+        f"WHEN s_{lang} = GREATEST({best}) THEN '{lang}'"
+        for lang in langs[:-1])
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM {table})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN GREATEST({best}) = 0 THEN 'unknown'
+            {branches}
+            ELSE '{langs[-1]}' END AS lang_pred
+FROM scored
+"""
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = x + np.uint64(0x9E3779B97F4A7C15)
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
