@@ -386,6 +386,7 @@ FROM (SELECT qid, vec_id,
       FROM d)
 WHERE rn <= 20
 """,
+        "route_proximity_events": X.route_proximity_sql(),
         "lang_id_docs": __import__(
             "s2geometry_ray.functions.text", fromlist=["lang_id_sql"]
         ).lang_id_sql(),

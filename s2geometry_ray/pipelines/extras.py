@@ -243,25 +243,79 @@ def phash_band_buckets(_sf_dir: str, n: int = 600):
     return exploded.groupby(["band_id", "band_val"]).aggregate(Count(alias_name="n"))
 
 
-def route_proximity_events(sf_dir: str, radius_rad: float = 0.02):
-    """Rows-only: events within ~128 km of a fixed route (buffered
-    polyline region through the standard covering+join machinery —
-    S2Polyline semantics as a join operator)."""
+_ROUTE = [(34.05, -118.24), (36.17, -115.14), (39.53, -119.81),
+          (40.76, -111.89), (39.74, -104.99)]
+_ROUTE_RADIUS = 0.02
+
+
+def _route_region():
+    from s2geometry_ray.kernels.regions import PolylineRegion
+
+    return PolylineRegion.from_latlng_degrees(_ROUTE, _ROUTE_RADIUS)
+
+
+def route_proximity_events(sf_dir: str):
+    """Events within ~128 km of a fixed route (buffered polyline region
+    through the standard covering+join machinery — S2Polyline + distance
+    semantics as a join operator).  SQL-checked: route_proximity_sql
+    embeds each arc's exact float64 constants and mirrors the clamped-
+    projection distance predicate."""
     import ray
 
-    from s2geometry_ray.kernels.regions import PolylineRegion
     from s2geometry_ray.pipelines.flagship import _points_ds
     from s2geometry_ray.stages.spatial_join import CoveringIndex, make_spatial_join_fn
 
-    route = [(34.05, -118.24), (36.17, -115.14), (39.53, -119.81),
-             (40.76, -111.89), (39.74, -104.99)]
-    region = PolylineRegion.from_latlng_degrees(route, radius_rad)
-    index = CoveringIndex.build([("route0", region)], max_cells=64, max_level=12)
+    index = CoveringIndex.build([("route0", _route_region())],
+                                max_cells=64, max_level=12)
     ref = ray.put(index)
     pts = _points_ds(sf_dir)
     out = pts.map_batches(make_spatial_join_fn(ref, ["event_id"]),
                           batch_format="pyarrow", batch_size=None)
     return out.select_columns(["event_id", "tile_id"])
+
+
+def route_proximity_sql() -> str:
+    """DuckDB twin of route_proximity_events, generated from the SAME
+    region object: per-arc constants (a, b, n=a×b, ‖n‖, na=n×a, nb=n×b)
+    embed as exact repr'd float64 literals, and membership mirrors
+    PolylineRegion.distance ≤ r arc-by-arc (min over arcs ≤ r ⟺ OR of
+    per-arc conditions).  Transcendental calls (asin/acos) appear in the
+    same functional positions on both engines; a row could only flip on
+    a point within ~1 ulp of the radius threshold."""
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    region = _route_region()
+    lat = derive_lat_sql("event_id")
+    lng = derive_lng_sql("event_id")
+    r = repr(_ROUTE_RADIUS)
+
+    def dot(vec):
+        x, y, z = (repr(float(c)) for c in vec)
+        return f"(px*({x}) + py*({y}) + pz*({z}))"
+
+    conds = []
+    for k in range(region._arc_a.shape[0]):
+        inside = (f"({dot(region._na[k])} > 0.0 AND "
+                  f"{dot(region._nb[k])} < 0.0)")
+        nn = repr(float(region._arc_nn[k]))
+        d_gc = (f"asin(least(greatest(abs({dot(region._arc_n[k])}) / ({nn}),"
+                f" -1.0), 1.0))")
+        d_a = f"acos(least(greatest({dot(region._arc_a[k])}, -1.0), 1.0))"
+        d_b = f"acos(least(greatest({dot(region._arc_b[k])}, -1.0), 1.0))"
+        conds.append(f"(CASE WHEN {inside} THEN {d_gc}"
+                     f" ELSE least({d_a}, {d_b}) END) <= {r}")
+    where = "\n   OR ".join(conds)
+    return f"""
+WITH p AS (
+  SELECT event_id,
+         cos(radians({lat})) * cos(radians({lng})) AS px,
+         cos(radians({lat})) * sin(radians({lng})) AS py,
+         sin(radians({lat})) AS pz
+  FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id, 'route0' AS tile_id
+FROM p
+WHERE {where}
+"""
 
 
 def dedup_images_phash(_sf_dir: str, n: int = 800):
