@@ -387,6 +387,14 @@ FROM (SELECT qid, vec_id,
 WHERE rn <= 20
 """,
         "route_proximity_events": X.route_proximity_sql(),
+        "cell_stats_events": X.cell_stats_events_sql(),
+        "cell_assign_events": __import__(
+            "s2geometry_ray.functions.cellid_sql",
+            fromlist=["cell_assign_events_sql"]).cell_assign_events_sql(
+                __import__("s2geometry_ray.sources.geotag",
+                           fromlist=["derive_lat_sql"]).derive_lat_sql("event_id"),
+                __import__("s2geometry_ray.sources.geotag",
+                           fromlist=["derive_lng_sql"]).derive_lng_sql("event_id")),
         "lang_id_docs": __import__(
             "s2geometry_ray.functions.text", fromlist=["lang_id_sql"]
         ).lang_id_sql(),

@@ -333,13 +333,55 @@ def dedup_images_phash(_sf_dir: str, n: int = 800):
 
 
 def cell_stats_events(sf_dir: str):
-    """Rows-only: O6 grouped stats per level-8 Hilbert prefix over the
-    event points (map-side pre-aggregation + bounded combine)."""
+    """O6 grouped stats per level-8 Hilbert prefix over the event points
+    (map-side pre-aggregation + bounded combine).  SQL-checked: values
+    ride as integer CENTS so sums are order-insensitive-exact, and the
+    oracle recomputes the level-8 cell itself with the pure-SQL S2
+    implementation (functions/cellid_sql.py)."""
     from s2geometry_ray.pipelines.flagship import _points_ds
     from s2geometry_ray.stages.tile_assign import grouped_stats
 
     pts = _points_ds(sf_dir, extra_cols=("value",))
-    return grouped_stats(pts, "cell_l8", "value")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return t.drop_columns(["value"]).append_column(
+            "cents", pa.array(cents))
+
+    pts = pts.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    out = grouped_stats(pts, "cell_l8", "cents")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # shuffle reps → gate schema: key back to uint64 (it rode as the
+        # int64 bit-view), float partials back to exact int64 cents
+        # (integer-valued floats ≪ 2⁵³, so the cast is exact)
+        cl = t["cell_l8"].to_numpy(zero_copy_only=False).view(np.uint64)
+        as_i64 = lambda c: pa.array(  # noqa: E731
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"cell_l8": pa.array(cl, type=pa.uint64()),
+                         "n": t["n"], "s": as_i64("s"),
+                         "mn": as_i64("mn"), "mx": as_i64("mx")})
+
+    return out.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cell_stats_events_sql() -> str:
+    from s2geometry_ray.functions.cellid_sql import cell_id_ctes, parent_sql
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    ctes = cell_id_ctes(
+        derive_lat_sql("event_id"), derive_lng_sql("event_id"),
+        extra_cols=", cents",
+        extra_select=", CAST(ROUND(value * 100) AS BIGINT) AS cents")
+    return ctes + f"""
+SELECT {parent_sql('cell_id', 8)} AS cell_l8,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS s,
+       CAST(MIN(cents) AS BIGINT) AS mn,
+       CAST(MAX(cents) AS BIGINT) AS mx
+FROM cell GROUP BY cell_l8
+"""
 
 
 def polygon_overlay_tiles(sf_dir: str):
