@@ -358,16 +358,9 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY substr(text, 1, 16)
 """,
-        "token_stats_docs": r"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
-       CAST(length(text) AS BIGINT) AS text_len,
-       CAST(len(regexp_extract_all(text,
-            '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
-            AS BIGINT) AS n_bpe_tokens
-FROM documents
-""",
+        "token_stats_docs": __import__(
+            "s2geometry_ray.functions.text",
+            fromlist=["token_stats_sql"]).token_stats_sql(),
         "doc_quality": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,

@@ -50,6 +50,14 @@ class BruteCosineActor:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # the IVF prune stage routinely empties whole blocks
+            return pa.table({
+                "query_idx": pa.array([], type=pa.int64()),
+                self.key_col: pa.array([], type=batch.schema.field(
+                    self.key_col).type),
+                "sim": pa.array([], type=pa.float64()),
+            })
         emb = _normalize_rows(_stack_embeddings(batch, self.emb_col))
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
         # (Q, B) layout: per-query argpartition over contiguous rows (the
@@ -90,19 +98,41 @@ def brute_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
                       ascending=False, nq_hint=q.shape[0])
 
 
+def _content_hash_rows(emb: np.ndarray, seed: int) -> np.ndarray:
+    """Uniform per-row uint64 hash of embedding CONTENT (bit patterns
+    folded with splitmix64) — deterministic AND independent of row
+    order/block splitting."""
+    bits = np.ascontiguousarray(emb).view(np.uint64)
+    h = np.full(len(emb), np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    for k in range(bits.shape[1]):
+        x = h ^ bits[:, k]
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = x ^ (x >> np.uint64(31))
+    return h
+
+
 def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,
                     sample_fraction=0.25, seed=3, max_sample=50_000) -> np.ndarray:
-    """k-means-lite on a BOUNDED, DETERMINISTIC sample: ``limit(cap)``
-    caps driver materialization at ``max_sample`` rows no matter how
-    large the dataset is, and (unlike ``random_sample(seed=...)``, whose
-    output was measured to vary across executions with Ray's block
-    splitting — which made downstream recall metrics wobble run-to-run)
-    is reproducible.  First-N is unbiased when input order is unrelated
-    to embedding values (true for the gate tables); pre-shuffle once
-    upstream for adversarially sorted inputs.  The quantizer itself is
-    tiny and broadcast."""
-    del sample_fraction  # kept for API compatibility
-    sample = ds.limit(max_sample).take_all()
+    """k-means-lite on a BOUNDED, DETERMINISTIC, ORDER-INDEPENDENT
+    sample: rows whose content hash falls under ``sample_fraction``
+    (uniform regardless of how the table is sorted — a head-N limit
+    would train on one corpus of a source-ordered table, and Ray's
+    ``random_sample(seed=...)`` was measured to vary across executions
+    with block splitting, making downstream recall wobble run-to-run),
+    capped at ``max_sample`` driver rows.  The quantizer itself is tiny
+    and broadcast."""
+    frac = min(1.0, float(sample_fraction))
+    thresh = np.uint64(int(frac * float(2**64 - 1)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(t, emb_col)
+        return t.filter(pa.array(_content_hash_rows(emb, seed) <= thresh))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow") \
+        .limit(max_sample).take_all()
+    if not sample:  # tiny inputs under an aggressive fraction
+        sample = ds.limit(max_sample).take_all()
     x = _normalize_rows(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -349,11 +379,14 @@ def cosine_neardup_pairs(ds, tau=0.95, key_col="vec_id", emb_col="embedding",
             s = np.array([], dtype=np.float64)
         t = np.zeros(a.size, dtype=np.int64)
         if state["truncated"]:
-            if keys.dtype.kind not in "iu":
+            if keys.dtype.kind != "i":
+                # unsigned would wrap -1 to 2^64-1 — a LEGAL key value,
+                # making the audit filter silently miss counter rows
+                # (round-3 review finding); fail loudly instead
                 raise ValueError(
                     f"bucket {bucket}: {state['truncated']} pairs over "
-                    "max_pairs_per_bucket with non-integer keys (no counter"
-                    "-row representation) — raise max_pairs_per_bucket")
+                    "max_pairs_per_bucket with non-signed-integer keys "
+                    "(no counter-row sentinel) — raise max_pairs_per_bucket")
             a = np.append(a, keys.dtype.type(-1))
             b = np.append(b, keys.dtype.type(-1))
             s = np.append(s, 0.0)

@@ -428,17 +428,43 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
     probabilistic-recall LSH; every RETURNED pair is exactly ≥ τ).
 
     → Dataset (key_a, key_b, jaccard_e4): similarity as an e4-scaled
-    int64 (deterministic across engines).  Texts reach the verify stage
-    via two hash joins on the candidate keys (the simhash verify plan) —
-    only candidate-pair texts are exchanged, never the corpus."""
+    int64 (deterministic across engines).  Each side of the corpus is
+    SEMI-JOIN filtered to the candidate key set (broadcast membership
+    test) before its texts enter the hash join, so only candidate-pair
+    texts are exchanged — never the corpus (round-3 review: the
+    unfiltered joins shipped two full text copies).  The candidate key
+    set is collected to the driver/object store; above
+    ``max_broadcast_keys`` candidates the filter is skipped and the
+    full join runs (documented trade: a corpus THAT duplicate-heavy
+    ships its texts anyway)."""
     from s2geometry_ray.scale import dataset_count_hint, derive_num_parts
 
+    max_broadcast_keys = 5_000_000
     if n_rows_hint is None:
         n_rows_hint = dataset_count_hint(ds)
     join_parts = derive_num_parts(n_rows_hint, rows_per_part=250_000)
     cands = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands,
                                     text_col=text_col, key_col=key_col,
-                                    scheme=scheme, n_rows_hint=n_rows_hint)
+                                    scheme=scheme,
+                                    n_rows_hint=n_rows_hint).materialize()
+
+    def semi_filter(side_keys: np.ndarray):
+        import ray
+
+        sorted_keys = np.sort(side_keys)
+        ref = ray.put(sorted_keys)
+
+        def fn(t: pa.Table) -> pa.Table:
+            from s2geometry_ray.stages.broadcast import get_broadcast
+
+            sk = get_broadcast(ref)
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sk, k)
+            pos_c = np.minimum(pos, len(sk) - 1) if len(sk) else pos * 0
+            hit = (sk[pos_c] == k) if len(sk) else np.zeros(len(k), bool)
+            return t.filter(pa.array(hit))
+
+        return fn
 
     def as_side(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -446,12 +472,20 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
                              f"text_{side}": t[text_col]})
         return fn
 
-    ta = ds.map_batches(as_side("a"), batch_format="pyarrow").materialize()
-    tb = ds.map_batches(as_side("b"), batch_format="pyarrow").materialize()
-    joined = cands.join(ta, join_type="inner", num_partitions=join_parts,
-                        on=("key_a",)).materialize()
-    joined = joined.join(tb, join_type="inner", num_partitions=join_parts,
-                         on=("key_b",))
+    n_cands = cands.count()
+    sides = {}
+    for side in ("a", "b"):
+        src = ds
+        if n_cands <= max_broadcast_keys:
+            # Dataset.unique returns a SET — materialize to a 1-D array
+            keys = np.asarray(sorted(cands.unique(f"key_{side}") or []))
+            src = src.map_batches(semi_filter(keys), batch_format="pyarrow")
+        sides[side] = src.map_batches(as_side(side),
+                                      batch_format="pyarrow").materialize()
+    joined = cands.join(sides["a"], join_type="inner",
+                        num_partitions=join_parts, on=("key_a",)).materialize()
+    joined = joined.join(sides["b"], join_type="inner",
+                         num_partitions=join_parts, on=("key_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -20,7 +20,26 @@ import pyarrow.compute as pc
 # form so the DuckDB oracle runs the IDENTICAL pattern: contractions,
 # space-prefixed letter runs, digit runs, symbol runs, whitespace runs.
 # Counting these pieces is the standard cheap proxy for BPE token cost.
-BPE_ISH_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Whitespace is an EXPLICIT ASCII class: Python-\s matches unicode
+# whitespace and RE2-\s does not, so \s would silently diverge on
+# non-ASCII docs (round-3 review finding).
+_WS = " \\t\\n\\r\\f\\v"
+BPE_ISH_PATTERN = (rf"'[a-z]+| ?[A-Za-z]+| ?[0-9]+"
+                   rf"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+")
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin of TokenStats, with the BPE-ish pattern interpolated
+    from BPE_ISH_PATTERN itself so the two engines can never drift."""
+    bpe = BPE_ISH_PATTERN.replace("'", "''")
+    return rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
+FROM {table}
+"""
 
 
 class TokenStats:
@@ -204,6 +223,14 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = pc.cast(batch[text_col], pa.string())
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # a null slot's offsets span zero bytes — it would silently hash
+        # like '' and exact-dedup would swallow every null doc into one
+        # group.  The previous per-row path raised on None; keep failing
+        # loudly (round-3 review finding).
+        raise ValueError(
+            f"fingerprint_batch: {col.null_count} null value(s) in "
+            f"'{text_col}' — drop or fill nulls before exact dedup")
     data, off = _utf8_buffer_view(col)
     n = len(col)
     lens = np.diff(off)

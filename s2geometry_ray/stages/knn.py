@@ -360,15 +360,21 @@ def knn(ds, query_ids, qlat, qlng, k: int, key_col: str,
         # The merged result is ≤ Q·k rows — materialize once so the two
         # filters below don't re-execute the pipeline.
         result = result.materialize()
-        bad = result.map_batches(
+        # Ray's unique() yields None (not []) on an empty stream
+        bad = set(result.map_batches(
             lambda t: t.filter(t["incomplete"]).select(["query_id"]),
-            batch_format="pyarrow").unique("query_id")
+            batch_format="pyarrow").unique("query_id") or [])
+        # a query whose candidate cells hold ZERO points emits no partial
+        # rows at all — it must ALSO fall back (absence == incomplete);
+        # the per-pair kernel can't flag what it never saw
+        present = set(result.unique("query_id") or [])
+        bad |= {int(q) for q in index.query_ids.tolist() if q not in present}
         good = result.map_batches(
             lambda t: t.filter(pc.invert(t["incomplete"]))
                        .drop_columns(["incomplete"]),
             batch_format="pyarrow")
         if bad:
-            sel = np.isin(index.query_ids, bad)
+            sel = np.isin(index.query_ids, list(bad))
             redo = knn(ds, index.query_ids[sel], np.asarray(qlat)[sel],
                        np.asarray(qlng)[sel], k, key_col, lat_col, lng_col,
                        keep_dist=True)

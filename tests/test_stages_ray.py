@@ -844,3 +844,85 @@ def test_dataset_count_hint(ray_session):
     assert derive_num_parts(10) == 8
     assert derive_num_parts(10_000_000, rows_per_part=100_000) == 100
     assert derive_num_parts(10**12, rows_per_part=100_000) == 1024
+
+
+def test_knn_pruned_query_with_empty_neighborhood(ray_session):
+    """Round-3 review finding: a query whose candidate cells contain no
+    points emits no partial rows — it must still fall back to brute and
+    return its true k nearest, not vanish from the output."""
+    import ray.data as rd
+
+    from s2geometry_ray.stages.knn import knn
+
+    rng = np.random.default_rng(2)
+    lat = 10.0 + rng.uniform(-0.5, 0.5, 2000)
+    lng = 10.0 + rng.uniform(-0.5, 0.5, 2000)
+    cid = vk.from_latlng(lat, lng)
+    ds = rd.from_arrow(pa.table({
+        "pt_key": pa.array(np.arange(2000, dtype=np.int64)),
+        "lat": pa.array(lat), "lng": pa.array(lng),
+        "cell_id": pa.array(cid, type=pa.uint64()),
+    }))
+    qlat = np.array([10.0, 50.0])   # query 1 is ~40 degrees from all points
+    qlng = np.array([10.0, 50.0])
+    qids = np.array([0, 1], dtype=np.int64)
+    res = knn(ds, qids, qlat, qlng, 3, "pt_key", leaf_col="cell_id",
+              level=8, keep_dist=True).to_pandas()
+    assert set(res["query_id"]) == {0, 1}
+    # exactness for the far query via brute oracle
+    pxyz = vk.latlng_to_xyz(lat, lng)
+    q1 = vk.latlng_to_xyz(qlat[1:], qlng[1:])[0]
+    d2 = ((pxyz - q1) ** 2).sum(axis=1)
+    want = set(np.lexsort((np.arange(2000), d2))[:3].tolist())
+    got = set(res[res["query_id"] == 1]["pt_key"].tolist())
+    assert got == want
+
+
+def test_fingerprint_null_text_raises():
+    import pytest
+
+    from s2geometry_ray.functions.text import fingerprint_batch
+
+    t = pa.table({"doc_id": [1, 2], "text": ["abc", None]})
+    with pytest.raises(ValueError, match="null"):
+        fingerprint_batch(t)
+
+
+def test_brute_cosine_actor_empty_batch():
+    """Round-3 review finding: the IVF prune stage empties whole blocks;
+    the brute actor must emit an empty partial, not IndexError."""
+    import ray
+
+    from s2geometry_ray.functions.ann import BruteCosineActor
+
+    q = np.eye(2, 8)
+    actor = BruteCosineActor(q, k=5, key_col="vec_id", emb_col="embedding")
+    empty = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+    })
+    out = actor(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_idx", "vec_id", "sim"]
+    del ray
+
+
+def test_neardup_truncation_unsigned_keys_raise(ray_session):
+    """-1 wraps to a legal uint64 key; truncation with unsigned keys
+    must fail loudly instead of emitting an invisible counter row."""
+    import pytest
+    import ray.data as rd
+
+    from s2geometry_ray.functions.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=16)
+    emb = np.tile(v, (30, 1)) + 0.001 * rng.normal(size=(30, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.uint64)),
+        "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+    }))
+    with pytest.raises(Exception, match="non-signed-integer"):
+        cosine_neardup_pairs(ds, tau=0.9, n_centroids=2,
+                             max_pairs_per_bucket=50,
+                             concurrency=2).to_pandas()
