@@ -134,6 +134,20 @@ def test_shared_edge_subrect_difference():
     _check(loop_intersection, np.logical_and, A, B, rng)
 
 
+def test_corner_touching_rects():
+    """Rects sharing ONLY a corner vertex (measure-zero contact): the
+    lateral-offset classification handles vertex tangency without
+    symbolic perturbation — union keeps both, intersection is empty."""
+    rng = np.random.default_rng(13)
+    A = _sq(0, 10, 0, 10)
+    B = _sq(-10, 0, -10, 0)
+    _check(loop_union, np.logical_or, A, B, rng)
+    res_i = loops_to_polygon(loop_intersection(A, B))
+    if res_i is not None:
+        assert not res_i.contains_points(_sample(rng)).any()
+    _check(loop_difference, lambda a, b: a & ~b, A, B, rng)
+
+
 def test_identical_rects():
     """A == B: union and intersection are A; difference is empty."""
     rng = np.random.default_rng(9)
