@@ -122,6 +122,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return minhash_candidate_pairs(_docs(sf))
 
+    def epoch_shuffle_docs(sf):
+        """Deterministic epoch reshuffle of the documents table (seeded
+        splitmix64 permutation key + Ray range-partitioned sort); the
+        SQL twin recomputes the key bit-exact."""
+        from s2geometry_ray.functions.shuffle import epoch_shuffle
+
+        out = epoch_shuffle(_docs(sf), "doc_id", seed=7)
+        return out.select_columns(["doc_id", "shuf64"])
+
     def neardup_jaccard_docs(sf):
         """MinHash-LSH candidates verified by EXACT n-gram Jaccard ≥ 0.5
         (rows-only: LSH candidate recall is probabilistic, so a SQL twin
@@ -313,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": lang_id_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "neardup_jaccard_docs": neardup_jaccard_docs,
+        "epoch_shuffle_docs": epoch_shuffle_docs,
         "dedup_components_docs": dedup_components_docs,
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
@@ -380,6 +390,9 @@ FROM (SELECT qid, vec_id,
 WHERE rn <= 20
 """,
         "route_proximity_events": X.route_proximity_sql(),
+        "epoch_shuffle_docs": __import__(
+            "s2geometry_ray.functions.shuffle",
+            fromlist=["shuffle_sql"]).shuffle_sql("doc_id", seed=7),
         "cell_stats_events": X.cell_stats_events_sql(),
         "cell_assign_events": __import__(
             "s2geometry_ray.functions.cellid_sql",

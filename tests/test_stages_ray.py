@@ -926,3 +926,24 @@ def test_neardup_truncation_unsigned_keys_raise(ray_session):
         cosine_neardup_pairs(ds, tau=0.9, n_centroids=2,
                              max_pairs_per_bucket=50,
                              concurrency=2).to_pandas()
+
+
+def test_epoch_shuffle_deterministic_permutation(ray_session):
+    """Deterministic epoch shuffle: same seed → identical order across
+    runs; different seeds → different permutations of the same rows."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.shuffle import epoch_shuffle
+
+    t = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64)),
+                  "text": pa.array([f"d{i}" for i in range(500)])})
+    a1 = epoch_shuffle(rd.from_arrow(t), seed=1).to_pandas()
+    a2 = epoch_shuffle(rd.from_arrow(t), seed=1).to_pandas()
+    b = epoch_shuffle(rd.from_arrow(t), seed=2).to_pandas()
+    assert a1["doc_id"].tolist() == a2["doc_id"].tolist()
+    assert a1["doc_id"].tolist() != b["doc_id"].tolist()
+    assert sorted(b["doc_id"]) == list(range(500))
+    # keys look uniform: sorted output interleaves ids thoroughly
+    pos = np.empty(500, dtype=np.int64)
+    pos[a1["doc_id"].to_numpy()] = np.arange(500)
+    assert abs(np.corrcoef(np.arange(500), pos)[0, 1]) < 0.2
