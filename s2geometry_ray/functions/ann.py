@@ -103,7 +103,10 @@ def _content_hash_rows(emb: np.ndarray, seed: int) -> np.ndarray:
     folded with splitmix64) — deterministic AND independent of row
     order/block splitting."""
     bits = np.ascontiguousarray(emb).view(np.uint64)
-    h = np.full(len(emb), np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    # wrap in Python ints first: numpy SCALAR u64 multiply warns on
+    # overflow (and crashes under -W error)
+    h = np.full(len(emb),
+                np.uint64((seed * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)))
     for k in range(bits.shape[1]):
         x = h ^ bits[:, k]
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -113,16 +116,22 @@ def _content_hash_rows(emb: np.ndarray, seed: int) -> np.ndarray:
 
 
 def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,
-                    sample_fraction=0.25, seed=3, max_sample=50_000) -> np.ndarray:
-    """k-means-lite on a BOUNDED, DETERMINISTIC, ORDER-INDEPENDENT
-    sample: rows whose content hash falls under ``sample_fraction``
-    (uniform regardless of how the table is sorted — a head-N limit
-    would train on one corpus of a source-ordered table, and Ray's
-    ``random_sample(seed=...)`` was measured to vary across executions
-    with block splitting, making downstream recall wobble run-to-run),
-    capped at ``max_sample`` driver rows.  The quantizer itself is tiny
-    and broadcast."""
+                    sample_fraction=0.25, seed=3, max_sample=50_000,
+                    n_rows_hint=None) -> np.ndarray:
+    """k-means-lite on a BOUNDED, DETERMINISTIC sample: rows whose
+    content hash falls under the sample fraction (uniform regardless of
+    how the table is sorted — a head-N limit would train on one corpus
+    of a source-ordered table, and Ray's ``random_sample(seed=...)`` was
+    measured to vary across executions with block splitting, making
+    downstream recall wobble run-to-run), capped at ``max_sample``
+    driver rows.  Order-independence holds while the hash sample fits
+    the cap; pass ``n_rows_hint`` so the fraction auto-shrinks to
+    ~2×cap expected rows and the cap rarely bites (when it does, the
+    excess is trimmed in block order — bounded, documented bias).  The
+    quantizer itself is tiny and broadcast."""
     frac = min(1.0, float(sample_fraction))
+    if n_rows_hint and n_rows_hint > 0:
+        frac = min(frac, 2.0 * max_sample / float(n_rows_hint))
     thresh = np.uint64(int(frac * float(2**64 - 1)))
 
     def pick(t: pa.Table) -> pa.Table:
@@ -175,12 +184,13 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
     which the gate emits as a value)."""
     import ray
 
+    if n_rows_hint is None:
+        n_rows_hint = ds.count()
     if n_centroids is None:
-        n = n_rows_hint if n_rows_hint is not None else ds.count()
-        n_centroids = int(np.clip(np.sqrt(max(n, 1)), 8, 4096))
+        n_centroids = int(np.clip(np.sqrt(max(n_rows_hint, 1)), 8, 4096))
     if nprobe is None:
         nprobe = max(4, -(-n_centroids // 4))
-    c = train_centroids(ds, emb_col, n_centroids)
+    c = train_centroids(ds, emb_col, n_centroids, n_rows_hint=n_rows_hint)
     q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probed = np.unique(probe)
@@ -282,10 +292,11 @@ def cosine_neardup_pairs(ds, tau=0.95, key_col="vec_id", emb_col="embedding",
     near-duplicates, including the sub-bucketed path."""
     import ray
 
+    if n_rows_hint is None:
+        n_rows_hint = ds.count()
     if n_centroids is None:
-        n = n_rows_hint if n_rows_hint is not None else ds.count()
-        n_centroids = int(np.clip(np.sqrt(max(n, 1)), 8, 4096))
-    c = train_centroids(ds, emb_col, n_centroids)
+        n_centroids = int(np.clip(np.sqrt(max(n_rows_hint, 1)), 8, 4096))
+    c = train_centroids(ds, emb_col, n_centroids, n_rows_hint=n_rows_hint)
     cref = ray.put(c)
     p = min(assign_probe, c.shape[0])
     assigned = ds.map_batches(

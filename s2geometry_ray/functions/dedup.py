@@ -478,7 +478,8 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
         src = ds
         if n_cands <= max_broadcast_keys:
             # Dataset.unique returns a SET — materialize to a 1-D array
-            keys = np.asarray(sorted(cands.unique(f"key_{side}") or []))
+            # (semi_filter sorts once; no driver-side sorted() of boxed ints)
+            keys = np.asarray(list(cands.unique(f"key_{side}") or []))
             src = src.map_batches(semi_filter(keys), batch_format="pyarrow")
         sides[side] = src.map_batches(as_side(side),
                                       batch_format="pyarrow").materialize()

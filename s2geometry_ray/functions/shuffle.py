@@ -44,8 +44,11 @@ def add_shuffle_key(ds, key_col: str = "doc_id", seed: int = 0,
 
 def epoch_shuffle(ds, key_col: str = "doc_id", seed: int = 0,
                   out_col: str = "shuf64"):
-    """→ the dataset in its epoch-``seed`` permutation order."""
-    return add_shuffle_key(ds, key_col, seed, out_col).sort(out_col)
+    """→ the dataset in its epoch-``seed`` permutation order.  The sort
+    key includes ``key_col`` as tie-break: at billions of rows splitmix
+    collisions are expected (birthday), and equal-key order would
+    otherwise depend on cluster layout — breaking replayability."""
+    return add_shuffle_key(ds, key_col, seed, out_col).sort([out_col, key_col])
 
 
 def _sql_mulmod(a: str, c: int) -> str:
@@ -70,7 +73,11 @@ def sql_splitmix64(expr: str) -> str:
 def shuffle_sql(key_col: str = "doc_id", seed: int = 0,
                 table: str = "documents") -> str:
     sm = _seed_mix(seed)
-    h = sql_splitmix64(f"xor(CAST({key_col} AS UBIGINT), {sm})")
+    # wrap negative keys exactly like numpy's astype(uint64) — a plain
+    # CAST(negative AS UBIGINT) raises in DuckDB
+    wrapped = (f"CAST(((CAST({key_col} AS HUGEINT) % 18446744073709551616)"
+               f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+    h = sql_splitmix64(f"xor({wrapped}, {sm})")
     return f"""
 SELECT CAST({key_col} AS BIGINT) AS {key_col}, {h} AS shuf64
 FROM {table}

@@ -26,15 +26,19 @@ import pyarrow.compute as pc
 _WS = " \\t\\n\\r\\f\\v"
 BPE_ISH_PATTERN = (rf"'[a-z]+| ?[A-Za-z]+| ?[0-9]+"
                    rf"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+")
+# \S is unicode in Python but ASCII in RE2 — the token pattern uses the
+# explicit ASCII class on BOTH engines (same divergence class as _WS)
+TOKEN_PATTERN = rf"[^{_WS}]+"
 
 
 def token_stats_sql(table: str = "documents") -> str:
-    """DuckDB twin of TokenStats, with the BPE-ish pattern interpolated
-    from BPE_ISH_PATTERN itself so the two engines can never drift."""
+    """DuckDB twin of TokenStats, with every pattern interpolated from
+    the shared constants so the two engines can never drift."""
     bpe = BPE_ISH_PATTERN.replace("'", "''")
+    tok = TOKEN_PATTERN.replace("'", "''")
     return rf"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{tok}')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
        CAST(length(text) AS BIGINT) AS text_len,
        CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
@@ -51,7 +55,7 @@ class TokenStats:
     def __init__(self):
         import re
 
-        self.token_re = re.compile(r"\S+")
+        self.token_re = re.compile(TOKEN_PATTERN)
         self.punct_re = re.compile(r"[.,!?;:]")
         self.bpe_re = re.compile(BPE_ISH_PATTERN)
 
