@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_proximity_events": X.route_proximity_events,
         "dedup_images_phash": X.dedup_images_phash,
         "cell_stats_events": X.cell_stats_events,
+        "io_roundtrip_docs": X.io_roundtrip_docs,
         "q1_pricing_summary": q1,
         "top_orders": top_orders,
         "customer_order_stats": customer_order_stats,
@@ -394,6 +395,7 @@ WHERE rn <= 20
             "s2geometry_ray.functions.shuffle",
             fromlist=["shuffle_sql"]).shuffle_sql("doc_id", seed=7),
         "cell_stats_events": X.cell_stats_events_sql(),
+        "io_roundtrip_docs": X.IO_ROUNDTRIP_SQL,
         "cell_assign_events": __import__(
             "s2geometry_ray.functions.cellid_sql",
             fromlist=["cell_assign_events_sql"]).cell_assign_events_sql(

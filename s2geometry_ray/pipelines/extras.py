@@ -332,6 +332,46 @@ def dedup_images_phash(_sf_dir: str, n: int = 800):
     return out.select_columns(["image_id", "n_copies"])
 
 
+def io_roundtrip_docs(sf_dir: str):
+    """O2 reader/writer breadth: documents flow parquet → Ray write_csv
+    → Ray read_csv and the reloaded rows are checked VALUE-EXACT against
+    the original table (doc_id + char length survive the format hop;
+    any CSV quoting/NULL-inference corruption shows as a mismatch).
+    Explicit arrow convert options pin the text column to string and
+    keep empty strings non-null."""
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="io_roundtrip_", dir="/tmp")
+    docs.write_csv(tmp)
+    back = rd.read_csv(
+        tmp,
+        convert_options=pacsv.ConvertOptions(
+            column_types={"doc_id": pa.int64(), "text": pa.string()},
+            strings_can_be_null=False))
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_len": pc.cast(pc.utf8_length(pc.cast(t["text"], pa.string())),
+                                pa.int64()),
+        })
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+IO_ROUNDTRIP_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
 def cell_stats_events(sf_dir: str):
     """O6 grouped stats per level-8 Hilbert prefix over the event points
     (map-side pre-aggregation + bounded combine).  SQL-checked: values
