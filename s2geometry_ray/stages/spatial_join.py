@@ -240,7 +240,11 @@ def join_batch(index: CoveringIndex, batch: pa.Table, keep_cols: list[str],
     cols = {}
     for c in keep_cols:
         cols[c] = batch[c].take(pa.array(p_idx, type=pa.int64()))
-    cols["tile_id"] = pa.array(tile_ids_arr[t_idx].tolist())
+    # type from the FIRST tile id, not inferred from the matches: an
+    # empty match list would otherwise produce a null-typed column and
+    # an all-empty result dataset loses its schema entirely
+    tid_type = pa.array(tile_ids_arr[:1].tolist()).type
+    cols["tile_id"] = pa.array(tile_ids_arr[t_idx].tolist(), type=tid_type)
     return pa.table(cols)
 
 

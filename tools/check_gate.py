@@ -25,7 +25,16 @@ def to_pandas(result) -> pd.DataFrame:
         return result
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+    df = result.to_pandas()  # ray Dataset
+    if df.empty and len(df.columns) == 0:
+        # Ray 2.49 to_pandas drops columns when every block is empty;
+        # recover them from the dataset schema so empty-vs-empty
+        # compares stay meaningful (only reachable at tiny sf)
+        try:
+            df = result.schema().base_schema.empty_table().to_pandas()
+        except Exception:
+            pass
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
