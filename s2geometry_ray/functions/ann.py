@@ -27,8 +27,11 @@ def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
     flat = chunk.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     offsets = chunk.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)
-    assert (widths == widths[0]).all(), "ragged embedding column"
-    return flat.reshape(len(chunk), int(widths[0]))
+    if len(widths) and not (widths == widths[0]).all():
+        raise ValueError(
+            f"ragged embedding column '{col}': widths "
+            f"{int(widths.min())}..{int(widths.max())} — fixed-dim required")
+    return flat.reshape(len(chunk), int(widths[0]) if len(widths) else 0)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
