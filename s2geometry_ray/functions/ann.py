@@ -169,6 +169,8 @@ class IvfAssignActor:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # upstream filters empty whole blocks
+            return batch.append_column("bucket", pa.array([], type=pa.int64()))
         emb = _normalize_rows(_stack_embeddings(batch, self.emb_col))
         bucket = np.argmax(emb @ self.c.T, axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
@@ -240,6 +242,15 @@ class MultiProbeAssignActor:
         self.probe = min(probe, self.c.shape[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # upstream filters empty whole blocks
+            cols = {
+                self.key_col: batch[self.key_col],
+                self.emb_col: batch[self.emb_col],
+                "bucket": pa.array([], type=pa.int64()),
+            }
+            for j in range(self.probe):
+                cols[f"b{j}"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         emb = _normalize_rows(_stack_embeddings(batch, self.emb_col))
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
         sims = emb @ self.c.T

@@ -362,7 +362,14 @@ def io_roundtrip_docs(sf_dir: str):
                                 pa.int64()),
         })
 
-    return back.map_batches(project, batch_format="pyarrow")
+    # materialize the (tiny) projection, then remove the CSV copy — a
+    # lazy return would leak a full-table CSV per invocation (round-3
+    # review finding)
+    out = back.map_batches(project, batch_format="pyarrow").materialize()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 IO_ROUNDTRIP_SQL = """

@@ -243,7 +243,8 @@ def join_batch(index: CoveringIndex, batch: pa.Table, keep_cols: list[str],
     # type from the FIRST tile id, not inferred from the matches: an
     # empty match list would otherwise produce a null-typed column and
     # an all-empty result dataset loses its schema entirely
-    tid_type = pa.array(tile_ids_arr[:1].tolist()).type
+    tid_type = (pa.array(tile_ids_arr[:1].tolist()).type
+                if len(tile_ids_arr) else pa.string())
     cols["tile_id"] = pa.array(tile_ids_arr[t_idx].tolist(), type=tid_type)
     return pa.table(cols)
 
