@@ -72,6 +72,13 @@ def combine_partials(partials, key_cols, agg_how: dict[str, str]):
 
     out = partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
     out = out.materialize()  # tiny by contract (see docstring)
+    if out.num_blocks() > 64:
+        # two-level tree: fan the per-block partials into ≤16 combiners
+        # first so the final reduce input is bounded by 16 × #keys
+        # regardless of upstream block count
+        out = (out.repartition(16)
+               .map_batches(combine, batch_format="pyarrow", batch_size=None)
+               .materialize())
     return out.repartition(1).map_batches(combine, batch_format="pyarrow",
                                           batch_size=None)
 
