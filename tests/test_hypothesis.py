@@ -129,12 +129,16 @@ def test_polygon_boolean_random_star_shapes(lat0, lng0, seed):
     rng = np.random.default_rng(seed)
 
     def star(la, ln, r):
+        # one vertex per angular sector, jittered INSIDE its sector:
+        # angles strictly increasing and covering the full circle, so
+        # the center is interior and the angle-sorted polygon is simple.
+        # (A plain uniform draw can put every angle in one half-plane —
+        # center outside the hull — where angular sort does NOT imply
+        # simplicity; that generated self-intersecting fixtures, which
+        # the overlay's simple-loop contract excludes.)
         k = int(rng.integers(5, 9))
-        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
-        if np.min(np.diff(ang)) < 0.15:  # avoid near-duplicate vertices
-            ang = np.linspace(0, 2 * np.pi, k, endpoint=False) \
-                + rng.uniform(0, 0.4, k)
-            ang = np.sort(ang)
+        step = 2 * np.pi / k
+        ang = (np.arange(k) + rng.uniform(0.15, 0.85, k)) * step
         rad = r * rng.uniform(0.55, 1.0, k)
         lat = la + rad * np.sin(ang)
         lng = ln + rad * np.cos(ang) / np.cos(np.radians(la))
