@@ -8,10 +8,13 @@ call ``ray.init`` / ``ray.shutdown``.
 Column-naming and float policy: every SQL-checked query emits integer
 keys/counts and integer cents/e4 money units (bit-exact across engines)
 or doubles produced by the *identical* IEEE-754 expression on both
-sides (see sources/geotag.py).  Queries whose semantics SQL cannot
-express (S2 cell ids, coverings, MinHash/SimHash, IVF-ANN, language-ID)
-have no oracle entry — the driver records the weaker rows-only check;
-their correctness lives in the pytest oracle (tests/).
+sides (see sources/geotag.py).  Non-relational semantics get generated
+twins instead (functions/cellid_sql.py, functions/gate_oracles.py):
+recomputed-in-SQL SimHash/banding/bit-arithmetic, driver-evaluated
+deterministic-fixture constants with SQL-derived columns, and
+measured-value pins.  Only genuinely probabilistic candidate generation
+(MinHash-LSH recall, IVF top-k) and the spherical overlay stay
+rows-only — their correctness lives in the pytest oracle (tests/).
 """
 
 from __future__ import annotations
@@ -173,8 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return comp
 
     def simhash_pairs_docs(sf):
-        """EXACT hamming<=3 near-dup pairs via multi-index banding
-        (rows-only; exactness vs brute is pytest-pinned)."""
+        """EXACT hamming<=3 near-dup pairs via multi-index banding,
+        value-checked against a brute-force O(n²) SQL scan over the
+        recomputed-in-SQL SimHash (gate_oracles.simhash_pairs_docs_sql)."""
         from s2geometry_ray.functions.dedup import simhash_candidate_pairs
 
         return simhash_candidate_pairs(_docs(sf), r=3)
@@ -229,8 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def audio_features_av(sf):
         """Multimodal audio: synthetic WAV/PCM16 table → actor-pool
-        decode + integer feature extraction with bit-exact rms verify
-        (rows-only: the WAV codec + features are pytest-pinned)."""
+        decode + integer feature extraction with bit-exact rms verify,
+        value-checked against a driver-side scalar decode twin."""
         del sf
         from s2geometry_ray.sources.synth_av import audio_dataset
         from s2geometry_ray.stages.decode import audio_feature_stage
@@ -240,7 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def video_frame_sample_av(sf):
         """Multimodal video: VID1 frame container → actor-pool
         frame-sampling (only sampled frames decode) + thumbnail resize +
-        per-frame phash with bit-exact frame-0 verify (rows-only)."""
+        per-frame phash with bit-exact frame-0 verify, value-checked
+        against a driver-side scalar frame-walk twin."""
         del sf
         from s2geometry_ray.sources.synth_av import video_dataset
         from s2geometry_ray.stages.decode import video_sample_stage
@@ -248,9 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return video_sample_stage(video_dataset(120), every=4, concurrency=2)
 
     def ivf_recall_embeddings(sf):
-        """Measured IVF recall vs brute on the gate queries (rows-only:
-        the value itself is the deliverable — the judge/driver can see
-        the quality of the approximate path, not just its row count)."""
+        """Measured IVF recall vs brute on the gate queries — the value
+        itself is the deliverable, PINNED by a constant-row oracle
+        (deterministic content-hash IVF training makes it stable)."""
         import pyarrow as pa
 
         from s2geometry_ray.functions.ann import ivf_recall_estimate
@@ -341,9 +346,26 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_ray.pipelines import flagship as F
     from s2geometry_ray.pipelines import tpch as T
 
+    from s2geometry_ray.functions import gate_oracles as G
     from s2geometry_ray.pipelines import extras as X
 
     return {
+        # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
+        # Constants are driver-evaluated deterministic fixtures; derived
+        # columns (ranges, token, level, bands, simhash, aggregates) are
+        # RE-COMPUTED in SQL — see functions/gate_oracles.py.
+        "decode_images": G.decode_images_sql(400),
+        "raster_boxes_images": G.raster_boxes_images_sql(300),
+        "dedup_images_phash": G.dedup_images_phash_sql(800),
+        "phash_band_buckets": G.phash_band_buckets_sql(600),
+        "covering_tiles": G.covering_tiles_sql(),
+        "covering_mixed_tiles": G.covering_mixed_tiles_sql(16),
+        "simhash_docs": G.simhash_docs_sql(),
+        "simhash_pairs_docs": G.simhash_pairs_docs_sql(r=3),
+        "audio_features_av": G.audio_features_sql(400),
+        "video_frame_sample_av": G.video_frame_sample_sql(120, every=4),
+        "ivf_recall_embeddings": G.ivf_recall_sql(
+            recall_pct=G.IVF_RECALL_PIN_SF001, n_queries=5),
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,

@@ -1,0 +1,351 @@
+"""DuckDB oracle generators for the gate queries whose semantics are
+not expressible over the registered parquet views alone (round-3
+verdict task #1: convert rows-only gates to value checks).
+
+Three oracle shapes, strongest available per query:
+
+1. **Recomputed twins** (``simhash_docs``, ``simhash_pairs_docs``,
+   ``phash_band_buckets``): the SQL re-derives the value from scratch —
+   byte-level tokenization + bit-exact splitmix64 SimHash, banding bit
+   arithmetic, brute-force hamming pairs — so the distributed banded /
+   vectorized engine paths are checked against an independent SQL
+   computation (the ``lang_id_sql`` / ``shuffle_sql`` pattern).
+2. **Generation-stamp constants + SQL-derived columns**
+   (``decode_images``, ``covering_*``, ``dedup_images_phash``,
+   ``audio``/``video``): the deterministic synth/covering fixtures are
+   evaluated once on the driver at oracle-build time and embedded as a
+   ``VALUES`` table; every column SQL *can* derive (range_min/range_max,
+   level, token, band values, group aggregates) is recomputed in SQL
+   from uint64 bit arithmetic, and validity invariants ride as WHERE
+   clauses (an invalid row drops out → visible row-count mismatch).
+   The Ray side recomputes the stamped values through the real
+   distributed path (actor-pool decode, Ray-parallel covering build),
+   so the compare pins distributed == scalar-driver == stamp.
+3. **Measured-value pins** (``ivf_recall_embeddings``): the pipeline's
+   deterministic measured output is pinned as a constant row — a
+   regression gate on the approximation quality itself.
+
+All VALUES literals are ints/strings/bools — bit-exact across engines
+by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from s2geometry_ray.functions.shuffle import _sql_mulmod, sql_splitmix64
+
+_U64 = 1 << 64
+_GOLD = 0x9E3779B97F4A7C15
+
+
+def _u64_lit(v: int) -> str:
+    return f"CAST({int(v) & (_U64 - 1)} AS UBIGINT)"
+
+
+def _str_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# images: decode / raster boxes / phash dedup + banding
+# ---------------------------------------------------------------------------
+
+
+def decode_images_sql(n: int = 400) -> str:
+    """Expected (image_id, fmt, w, h, phash, phash_ok) rows from the
+    GENERATION-time stamps: the stored phash is stamped from the
+    reference-decoded pixels at synth time, while the Ray side re-decodes
+    the bytes in the actor pool and recomputes the hash — a mismatch in
+    any codec, the phash kernel, or the actor plumbing flips a row."""
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        vals.append(f"({_str_lit(r['image_id'])}, {_str_lit(r['fmt'])}, "
+                    f"CAST({int(r['w'])} AS INTEGER), "
+                    f"CAST({int(r['h'])} AS INTEGER), "
+                    f"CAST({int(r['phash'])} AS BIGINT), TRUE)")
+    return ("SELECT image_id, fmt, w, h, phash, phash_ok FROM (VALUES "
+            + ", ".join(vals) + ") AS t(image_id, fmt, w, h, phash, phash_ok)")
+
+
+def raster_boxes_images_sql(n: int = 300, threshold: int = 200) -> str:
+    """Expected exploded bright-region boxes, computed by a driver-side
+    scalar pass over the same deterministic pixels (decode → gray
+    threshold → extent box).  Pins the distributed actor-pool run and
+    the vectorized explode against the scalar reference."""
+    from s2geometry_ray.kernels import codecs
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        px = codecs.decode(r["bytes"], r["fmt"])
+        gray = px.astype(np.int32).sum(axis=2) // 3
+        ys, xs = np.nonzero(gray >= threshold)
+        if ys.size:
+            vals.append(f"({_str_lit(r['image_id'])}, "
+                        f"{int(ys.min())}, {int(ys.max())}, "
+                        f"{int(xs.min())}, {int(xs.max())})")
+    return ("SELECT image_id, CAST(y0 AS BIGINT) AS y0, "
+            "CAST(y1 AS BIGINT) AS y1, CAST(x0 AS BIGINT) AS x0, "
+            "CAST(x1 AS BIGINT) AS x1 FROM (VALUES " + ", ".join(vals)
+            + ") AS t(image_id, y0, y1, x0, x1)")
+
+
+def _phash_values(n: int) -> str:
+    """(image_id, phash) VALUES rows for the bytes-free images table
+    (phash = the deterministic stamp; int64 bit-view)."""
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=False)
+        vals.append(f"({_str_lit(r['image_id'])}, "
+                    f"CAST({int(r['phash'])} AS BIGINT))")
+    return "(VALUES " + ", ".join(vals) + ") AS t(image_id, phash)"
+
+
+def dedup_images_phash_sql(n: int = 800) -> str:
+    """O9 exact-dedup twin: SQL re-runs the group-by-phash / min-id /
+    count aggregation over the stamped hashes — checks the Ray
+    groupby+Min+Count plan value-exactly."""
+    return (f"SELECT MIN(image_id) AS image_id, "
+            f"CAST(count(*) AS BIGINT) AS n_copies "
+            f"FROM {_phash_values(n)} GROUP BY phash")
+
+
+def phash_band_buckets_sql(n: int = 600) -> str:
+    """O10 banding twin: SQL re-derives each 16-bit band with uint64
+    arithmetic (int64 bit-view → unsigned wrap → shift/mask spelled as
+    exact divide/mod) and re-counts the buckets."""
+    wrap = ("CAST(((CAST(phash AS HUGEINT) % 18446744073709551616)"
+            " + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+    return f"""
+WITH ph AS (SELECT image_id, {wrap} AS u FROM {_phash_values(n)}),
+b(band_id, d) AS (VALUES (0, {_u64_lit(1)}), (1, {_u64_lit(1 << 16)}),
+                         (2, {_u64_lit(1 << 32)}), (3, {_u64_lit(1 << 48)}))
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       CAST((u // d) % 65536 AS BIGINT) AS band_val,
+       CAST(count(*) AS BIGINT) AS n
+FROM ph, b GROUP BY band_id, band_val
+"""
+
+
+# ---------------------------------------------------------------------------
+# coverings: constants from the driver-loop build, geometry re-derived in SQL
+# ---------------------------------------------------------------------------
+
+
+def _covering_flat(index) -> np.ndarray:
+    """Flat-order covering cell ids of a CoveringIndex (by_level rows
+    scatter back to their original explode order)."""
+    cells = np.empty(len(index.tile_idx), dtype=np.uint64)
+    for _lvl, cs, ridx in index.by_level:
+        cells[ridx] = cs
+    return cells
+
+
+# validity invariants, applied as WHERE clauses: an invalid id (face ≥ 6,
+# odd trailing-zero parity = no valid level, or deeper than max_level)
+# DROPS its row and the driver sees a row-count mismatch.
+def _lsb_ctes(values_sql: str, max_level: int) -> str:
+    return f"""
+WITH cov AS (SELECT * FROM {values_sql}),
+d AS (SELECT *, cell_id & ~(cell_id - {_u64_lit(1)}) AS lsb FROM cov
+      WHERE cell_id > {_u64_lit(0)}),
+v AS (SELECT * FROM d
+      WHERE bit_count(lsb - {_u64_lit(1)}) % 2 = 0
+        AND cell_id // {_u64_lit(1 << 61)} <= 5
+        AND lsb >= {_u64_lit(1 << (2 * (30 - max_level)))})
+"""
+
+
+def covering_tiles_sql(max_cells: int = 64, max_level: int = 14) -> str:
+    """Twin for the nation-tile covering table: (tile_key, cell_id,
+    interior) constants come from the driver-loop ``CoveringIndex.build``
+    over the fixed nation keys 0..24 (identical at every TPC-H SF);
+    range_min / range_max are RE-DERIVED in SQL from uint64 bit
+    arithmetic, and id-validity invariants gate every row."""
+    from s2geometry_ray.stages.spatial_join import CoveringIndex, tiles_from_keys
+
+    tiles = [(int(t[0].removeprefix("tile")), t[1])
+             for t in tiles_from_keys(np.arange(25, dtype=np.int64))]
+    index = CoveringIndex.build(tiles, max_cells=max_cells, max_level=max_level)
+    cells = _covering_flat(index)
+    vals = ", ".join(
+        f"({int(index.tile_ids[ti])}, {_u64_lit(int(c))}, "
+        f"{'TRUE' if bool(i) else 'FALSE'})"
+        for ti, c, i in zip(index.tile_idx, cells, index.interior))
+    values_sql = f"(VALUES {vals}) AS t(tile_key, cell_id, interior)"
+    return _lsb_ctes(values_sql, max_level) + f"""
+SELECT CAST(tile_key AS BIGINT) AS tile_key, cell_id,
+       cell_id - (lsb - {_u64_lit(1)}) AS range_min,
+       cell_id + (lsb - {_u64_lit(1)}) AS range_max,
+       interior
+FROM v
+"""
+
+
+def covering_mixed_tiles_sql(n_tiles: int = 16, max_cells: int = 32,
+                             max_level: int = 14) -> str:
+    """Twin for the mixed-fixture covering: constants from the
+    DRIVER-LOOP build (the Ray query runs ``build_covering_distributed``
+    — so the gate also re-pins distributed == driver); token and level
+    are RE-DERIVED in SQL (to_hex + popcount bit arithmetic)."""
+    from s2geometry_ray.functions.cellid_sql import token_sql
+    from s2geometry_ray.sources.tiles import gen_tiles
+    from s2geometry_ray.stages.spatial_join import CoveringIndex
+
+    _table, regions = gen_tiles(n_tiles)
+    index = CoveringIndex.build(regions, max_cells=max_cells,
+                                max_level=max_level)
+    cells = _covering_flat(index)
+    vals = ", ".join(
+        f"({_str_lit(index.tile_ids[ti])}, {_u64_lit(int(c))}, "
+        f"{'TRUE' if bool(i) else 'FALSE'})"
+        for ti, c, i in zip(index.tile_idx, cells, index.interior))
+    values_sql = f"(VALUES {vals}) AS t(tile_id, cell_id, interior)"
+    return _lsb_ctes(values_sql, max_level) + f"""
+SELECT tile_id, {token_sql('cell_id')} AS token,
+       CAST(30 - bit_count(lsb - {_u64_lit(1)}) // 2 AS BIGINT) AS level,
+       interior
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash: full recomputed twin (tokenize → splitmix64 → bit votes)
+# ---------------------------------------------------------------------------
+
+
+def simhash_ctes(table: str = "documents", key: str = "doc_id",
+                 text: str = "text") -> str:
+    """CTE chain ending in ``sh(key, simhash UBIGINT)`` that re-derives
+    the engine's 64-bit SimHash from scratch in SQL: ``[0-9a-z_]+`` runs
+    of the lowered text (byte-exact vs the engine's byte-class pass on
+    ASCII corpora), per-byte position-weighted splitmix64, per-token
+    reduce, and per-bit majority votes.  Every u64 wrap is spelled in
+    HUGEINT-safe arithmetic (``shuffle_sql`` machinery)."""
+    mixed = sql_splitmix64(
+        "CAST((CAST(ascii(substr(tok, pos, 1)) AS HUGEINT) + CAST("
+        + _sql_mulmod("CAST(pos AS UBIGINT)", _GOLD)
+        + f" AS HUGEINT)) % {_U64} AS UBIGINT)")
+    tok_h = sql_splitmix64(
+        f"CAST((SUM(CAST(mixed AS HUGEINT)) + tlen) % {_U64} AS UBIGINT)")
+    pow_rows = ", ".join(f"({k}, {_u64_lit(1 << k)})" for k in range(64))
+    return f"""
+WITH toks AS (
+  SELECT {key} AS k, unnest(regexp_extract_all(lower({text}), '[0-9a-z_]+')) AS tok
+  FROM {table}),
+ti AS (SELECT row_number() OVER () AS tid, k, tok FROM toks),
+byts AS (
+  SELECT tid, k, length(tok) AS tlen, tok,
+         unnest(generate_series(1, length(tok))) AS pos
+  FROM ti),
+bh AS (SELECT tid, k, tlen, {mixed} AS mixed FROM byts),
+th AS (SELECT tid, k, {tok_h} AS tok_h FROM bh GROUP BY tid, k, tlen),
+pw(bit, p) AS (VALUES {pow_rows}),
+votes AS (
+  SELECT k, bit, p, SUM(CAST((tok_h // p) % 2 AS BIGINT)) AS v, COUNT(*) AS c
+  FROM th, pw GROUP BY k, bit, p),
+agg AS (
+  SELECT k, CAST(COALESCE(SUM(CASE WHEN 2 * v > c THEN CAST(p AS HUGEINT)
+                                   ELSE 0 END), 0) % {_U64} AS UBIGINT) AS simhash
+  FROM votes GROUP BY k),
+sh AS (
+  SELECT d.{key} AS k, COALESCE(agg.simhash, {_u64_lit(0)}) AS simhash
+  FROM {table} d LEFT JOIN agg ON d.{key} = agg.k)
+"""
+
+
+def simhash_docs_sql() -> str:
+    return simhash_ctes() + """
+SELECT CAST(k AS BIGINT) AS doc_id, simhash FROM sh
+"""
+
+
+def simhash_pairs_docs_sql(r: int = 3) -> str:
+    """Brute-force hamming≤r pairs in SQL over the recomputed SimHash —
+    an INDEPENDENT check of the multi-index banding plan's exactness
+    claim (banding + verify must equal the full O(n²) scan)."""
+    return simhash_ctes() + f"""
+SELECT CAST(a.k AS BIGINT) AS key_a, CAST(b.k AS BIGINT) AS key_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.k < b.k
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# audio / video: actor-pool decode vs driver-side scalar reference
+# ---------------------------------------------------------------------------
+
+
+def audio_features_sql(n: int = 400) -> str:
+    """Expected per-clip features from a driver-side scalar decode of
+    the same deterministic WAV bytes; rms_ok additionally carries the
+    generation-stamp invariant (decode(encode(pcm)).rms == stamped)."""
+    from s2geometry_ray.kernels import av
+    from s2geometry_ray.sources.synth_av import gen_audio_row
+
+    vals = []
+    for i in range(n):
+        r = gen_audio_row(i)
+        pcm, rate = av.decode_wav(r["bytes"])
+        f = av.audio_features(pcm, rate)
+        ok = "TRUE" if f["rms"] == int(r["rms"]) else "FALSE"
+        vals.append(f"({_str_lit(r['audio_id'])}, {_str_lit(r['caption'])}, "
+                    f"{f['duration_ms']}, {f['rms']}, {f['zero_crossings']}, "
+                    f"{f['centroid_hz']}, {ok})")
+    return ("SELECT audio_id, caption, CAST(duration_ms AS BIGINT) AS duration_ms, "
+            "CAST(rms AS BIGINT) AS rms, "
+            "CAST(zero_crossings AS BIGINT) AS zero_crossings, "
+            "CAST(centroid_hz AS BIGINT) AS centroid_hz, rms_ok "
+            "FROM (VALUES " + ", ".join(vals)
+            + ") AS t(audio_id, caption, duration_ms, rms, zero_crossings, "
+              "centroid_hz, rms_ok)")
+
+
+def video_frame_sample_sql(n: int = 120, every: int = 4,
+                           thumb: int = 8) -> str:
+    """Expected sampled-frame rows from a driver-side scalar walk of the
+    same VID1 bytes (byte-range frame sampling + area resize + phash)."""
+    from s2geometry_ray.kernels import av
+    from s2geometry_ray.kernels.phash import phash64_i64
+    from s2geometry_ray.sources.synth_av import gen_video_row
+
+    vals = []
+    for i in range(n):
+        r = gen_video_row(i)
+        for fi, px in av.sample_frames(r["bytes"], every):
+            th = av.resize_area(px, thumb, thumb)
+            ph = int(phash64_i64(px))
+            ok = "TRUE" if (fi != 0 or ph == int(r["phash0"])) else "FALSE"
+            vals.append(f"({_str_lit(r['video_id'])}, {fi}, {ph}, "
+                        f"{int(th.astype(np.int64).mean())}, {ok})")
+    return ("SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+            "CAST(phash AS BIGINT) AS phash, "
+            "CAST(thumb_mean AS BIGINT) AS thumb_mean, phash0_ok "
+            "FROM (VALUES " + ", ".join(vals)
+            + ") AS t(video_id, frame_idx, phash, thumb_mean, phash0_ok)")
+
+
+# ---------------------------------------------------------------------------
+# measured-value pin
+# ---------------------------------------------------------------------------
+
+# IVF training is content-hash deterministic (round 3), so the measured
+# recall at the sf0.01 gate is a stable constant; pinning it makes the
+# approximation quality itself a regression gate.  Re-measure and update
+# if the IVF defaults or the gate query set change (measured 2026-08-17,
+# 5 queries × k=20 over sf0.01 embeddings).
+IVF_RECALL_PIN_SF001 = 80
+
+
+def ivf_recall_sql(recall_pct: int, n_queries: int = 5) -> str:
+    return (f"SELECT 'ivf_recall_at_20' AS metric, "
+            f"CAST({recall_pct} AS BIGINT) AS recall_pct, "
+            f"CAST({n_queries} AS BIGINT) AS n_queries")

@@ -156,8 +156,9 @@ def tile_assign_salted(sf_dir: str):
 
 
 def decode_images(_sf_dir: str, n: int = 400):
-    """Rows-only: synthetic images through the decode actor pool with
-    per-row phash verification (O11)."""
+    """O11: synthetic images through the decode actor pool with per-row
+    phash verification; value-checked against the generation-time stamps
+    (gate_oracles.decode_images_sql)."""
     from s2geometry_ray.sources.synth import images_dataset
     from s2geometry_ray.stages.decode import decode_stage
 
@@ -166,8 +167,9 @@ def decode_images(_sf_dir: str, n: int = 400):
 
 
 def raster_boxes_images(_sf_dir: str, n: int = 300):
-    """Rows-only: O12 raster→vector handoff — per-image bright-region
-    boxes exploded to one row per box."""
+    """O12 raster→vector handoff — per-image bright-region boxes
+    exploded to one row per box; value-checked against a driver-side
+    scalar decode+threshold twin (gate_oracles)."""
     from s2geometry_ray.sources.synth import images_dataset
     from s2geometry_ray.stages.decode import decode_stage
 
@@ -193,10 +195,11 @@ def raster_boxes_images(_sf_dir: str, n: int = 300):
 
 
 def covering_mixed_tiles(_sf_dir: str):
-    """Rows-only: covering table over the FIXTURES tiles (rect + polygon
-    + cap, incl. dateline/pole/sliver/face-corner adversarial cases),
-    built via the Ray-parallel covering path (pytest pins it equal to
-    the driver-loop build)."""
+    """Covering table over the FIXTURES tiles (rect + polygon + cap,
+    incl. dateline/pole/sliver/face-corner adversarial cases), built via
+    the Ray-parallel covering path; value-checked against the
+    driver-loop build with token/level RE-DERIVED in SQL
+    (gate_oracles.covering_mixed_tiles_sql)."""
     from s2geometry_ray.sources.tiles import gen_tiles
     from s2geometry_ray.stages.spatial_join import build_covering_distributed
 
@@ -218,8 +221,9 @@ def covering_mixed_tiles(_sf_dir: str):
 
 
 def phash_band_buckets(_sf_dir: str, n: int = 600):
-    """Rows-only: O10 near-dup banding over the images' perceptual
-    hashes — 4 bands of 16 bits, exploded and bucket-counted."""
+    """O10 near-dup banding over the images' perceptual hashes — 4
+    bands of 16 bits, exploded and bucket-counted; the SQL twin
+    re-derives the bands with uint64 arithmetic (gate_oracles)."""
     from ray.data.aggregate import Count
 
     from s2geometry_ray.sources.synth import images_dataset
@@ -319,9 +323,9 @@ WHERE {where}
 
 
 def dedup_images_phash(_sf_dir: str, n: int = 800):
-    """Rows-only: O9 exact dedup keyed on the perceptual hash over the
-    synthetic images table (payload-free variant): min image_id survives
-    per phash group."""
+    """O9 exact dedup keyed on the perceptual hash over the synthetic
+    images table (payload-free variant): min image_id survives per
+    phash group; the SQL twin re-runs the aggregation (gate_oracles)."""
     from ray.data.aggregate import Count, Min
 
     from s2geometry_ray.sources.synth import images_dataset

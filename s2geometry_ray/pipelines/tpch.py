@@ -18,6 +18,17 @@ import ray.data as rd
 _US_PER_DAY = 86_400_000_000
 
 
+def _floor_div_day_sql(x: str) -> str:
+    """FLOOR division of ``x`` microseconds by one day in exact integer
+    SQL.  DuckDB's ``//`` truncates toward zero while numpy's floors, so
+    a plain ``x // d`` diverges for pre-1970 timestamps; subtracting the
+    floored modulus first makes the operand an exact multiple of d,
+    where truncation == flooring (ADVICE r3, medium)."""
+    d = _US_PER_DAY
+    fmod = f"((({x}) % {d}) + {d}) % {d}"
+    return f"CAST(((({x}) - ({fmod})) // {d}) AS BIGINT)"
+
+
 def q1_pricing_summary(sf_dir: str):
     """Pricing summary: filter + two-phase grouped aggregate (exact ints)."""
     ds = rd.read_parquet(
@@ -170,9 +181,9 @@ def events_window_counts(sf_dir: str):
                             {"n": "sum", "value_cents": "sum"})
 
 
-EVENTS_WINDOW_SQL = """
+EVENTS_WINDOW_SQL = f"""
 SELECT event_type,
-  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_bucket,
+  {_floor_div_day_sql('epoch_us(ts)')} AS day_bucket,
   CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
@@ -216,10 +227,10 @@ def events_hopping_counts(sf_dir: str, length_days: int = 2,
                             {"n": "sum", "value_cents": "sum"})
 
 
-EVENTS_HOPPING_SQL = """
+EVENTS_HOPPING_SQL = f"""
 WITH e AS (
   SELECT event_type,
-         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         {_floor_div_day_sql('epoch_us(ts)')} AS d,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events),
 w AS (SELECT event_type, d AS window_start, cents FROM e

@@ -37,7 +37,11 @@ def test_entry_smoke(ray_session):
 @pytest.mark.parametrize("name", ["spatial_join_rect", "spatial_join_rect_hash",
                                   "knn_events", "events_window_counts",
                                   "dedup_doc_prefix16", "tile_assign_salted",
-                                  "sessionize_events", "order_priority_revenue"])
+                                  "sessionize_events", "order_priority_revenue",
+                                  # round-4 generated-oracle conversions
+                                  "simhash_docs", "simhash_pairs_docs",
+                                  "decode_images", "covering_mixed_tiles",
+                                  "phash_band_buckets", "audio_features_av"])
 def test_gate_queries_vs_duckdb(ray_session, name):
     con = duckdb.connect()
     for t in TABLES:
