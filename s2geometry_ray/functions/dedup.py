@@ -405,17 +405,47 @@ def band_candidate_pairs(band_rows, key_col: str, num_parts: int | None = None,
                                              batch_format="pandas")
 
 
-def ngram_jaccard(texts_a: list[str], texts_b: list[str], width: int = 5) -> np.ndarray:
-    """Verified Jaccard similarity for candidate pairs (vectorized set ops
-    per pair over hashed shingles)."""
-    out = np.empty(len(texts_a))
-    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
-        sa = _shingle_hashes(ta, width)
-        sb = _shingle_hashes(tb, width)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        out[i] = inter / union if union else 1.0
-    return out
+def _segment_unique(hs: np.ndarray, counts: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-segment unique values of concatenated segments → (values,
+    seg_of_value, uniques_per_seg).  One lexsort, no per-segment Python."""
+    seg = np.repeat(np.arange(counts.size), counts)
+    order = np.lexsort((hs, seg))
+    h, s = hs[order], seg[order]
+    new = np.ones(h.size, dtype=bool)
+    new[1:] = (s[1:] != s[:-1]) | (h[1:] != h[:-1])
+    uh, us = h[new], s[new]
+    return uh, us, np.bincount(us, minlength=counts.size)
+
+
+def ngram_jaccard(texts_a, texts_b, width: int = 5) -> np.ndarray:
+    """Verified Jaccard similarity for candidate pairs — fully
+    vectorized over the WHOLE batch: both columns go through
+    ``_bulk_shingle_hashes`` (one Arrow-buffer pass each, the same
+    kernel the signature stage uses — round-3 verdict #4 replaced the
+    per-pair ``_shingle_hashes`` Python loop), then per-pair
+    intersection counts fall out of one merged lexsort."""
+    col_a = texts_a if isinstance(texts_a, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts_a), type=pa.string())
+    col_b = texts_b if isinstance(texts_b, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts_b), type=pa.string())
+    n = len(col_a)
+    if n == 0:
+        return np.empty(0)
+    ha, ca = _bulk_shingle_hashes(col_a, width)
+    hb, cb = _bulk_shingle_hashes(col_b, width)
+    uha, sa, na = _segment_unique(ha, ca)
+    uhb, sb, nb = _segment_unique(hb, cb)
+    # merge both sides per pair: each side is unique within a pair, so
+    # an adjacent equal (pair, hash) run of length 2 == one intersection
+    pair = np.concatenate([sa, sb])
+    h = np.concatenate([uha, uhb])
+    order = np.lexsort((h, pair))
+    pair, h = pair[order], h[order]
+    eq = (pair[1:] == pair[:-1]) & (h[1:] == h[:-1])
+    inter = np.bincount(pair[1:][eq], minlength=n)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
@@ -494,8 +524,7 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
             return pa.table({"key_a": pa.array([], type=kt),
                              "key_b": pa.array([], type=kt),
                              "jaccard_e4": pa.array([], type=pa.int64())})
-        jac = ngram_jaccard(t["text_a"].to_pylist(), t["text_b"].to_pylist(),
-                            width)
+        jac = ngram_jaccard(t["text_a"], t["text_b"], width)
         keep = jac >= tau
         e4 = np.round(jac[keep] * 10_000).astype(np.int64)
         return pa.table({"key_a": t["key_a"].filter(pa.array(keep)),

@@ -37,12 +37,19 @@ def sessionize_events(sf_dir: str):
     gap to the previous event exceeds 30 min.  Output one row per
     session.  Partitioning assumption: all rows of a user fit one group
     (users are bounded); the shuffle key is user_id."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.scale import derive_num_parts
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     # Partition by user-hash (few, large groups — one vectorized call per
     # partition, not one map_groups call per user), then detect session
-    # breaks over the (user, ts)-sorted partition in one pass.
-    num_parts = 16
+    # breaks over the (user, ts)-sorted partition in one pass.  Partition
+    # count ∝ input rows (parquet metadata, no scan) so a partition's
+    # pandas frame stays bounded at any scale (round-3 verdict #3).
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_parts = derive_num_parts(n_rows, rows_per_part=100_000)
 
     def add_part(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
@@ -88,11 +95,19 @@ FROM s GROUP BY user_id, sid
 def order_priority_revenue(sf_dir: str):
     """Ray-native hash join (Dataset.join, explicit num_partitions) of
     lineitem ⋈ orders, then a bounded grouped aggregate."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.scale import derive_num_parts
+
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    # join partition count ∝ probe-side rows (parquet metadata, no scan)
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=derive_num_parts(n_li,
+                                                     rows_per_part=250_000),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -176,20 +191,21 @@ def raster_boxes_images(_sf_dir: str, n: int = 300):
     out = decode_stage(images_dataset(n), concurrency=2, with_boxes=True)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, y0, y1, x0, x1 = [], [], [], [], []
-        for iid, boxes in zip(batch["image_id"].to_pylist(),
-                              batch["boxes"].to_pylist()):
-            for b in boxes:
-                ids.append(iid)
-                y0.append(b["y0"])
-                y1.append(b["y1"])
-                x0.append(b["x0"])
-                x1.append(b["x1"])
-        return pa.table({"image_id": pa.array(ids, type=pa.string()),
-                         "y0": pa.array(y0, type=pa.int64()),
-                         "y1": pa.array(y1, type=pa.int64()),
-                         "x0": pa.array(x0, type=pa.int64()),
-                         "x1": pa.array(x1, type=pa.int64())})
+        # list_flatten + repeat-take: no per-row Python (r3 verdict #4)
+        import pyarrow.compute as pc
+
+        boxes = batch["boxes"]
+        if isinstance(boxes, pa.ChunkedArray):
+            boxes = boxes.combine_chunks()
+        counts = pc.list_value_length(boxes).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(boxes)
+        ids = batch["image_id"].take(
+            pa.array(np.repeat(np.arange(len(boxes)), counts)))
+        col = lambda f: pc.cast(pc.struct_field(flat, f), pa.int64())  # noqa: E731
+        return pa.table({"image_id": pc.cast(ids, pa.string()),
+                         "y0": col("y0"), "y1": col("y1"),
+                         "x0": col("x0"), "x1": col("x1")})
 
     return out.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
@@ -231,17 +247,17 @@ def phash_band_buckets(_sf_dir: str, n: int = 600):
     ds = images_dataset(n, with_bytes=False)
 
     def bands(batch: pa.Table) -> pa.Table:
+        # broadcast shift over a (4, n) view + one take: no per-row
+        # Python, ids never round-trip through pylist (r3 verdict #4)
         ph = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ids = batch["image_id"].to_pylist()
-        out_id, out_band, out_val = [], [], []
-        for b in range(4):
-            vals = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_id.extend(ids)
-            out_band.extend([b] * len(ids))
-            out_val.extend(vals.tolist())
-        return pa.table({"image_id": pa.array(out_id, type=pa.string()),
-                         "band_id": pa.array(out_band, type=pa.int64()),
-                         "band_val": pa.array(out_val, type=pa.int64())})
+        n = ph.size
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[:, None]
+        vals = ((ph[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        ids = batch["image_id"].take(pa.array(np.tile(np.arange(n), 4)))
+        return pa.table({"image_id": ids,
+                         "band_id": pa.array(
+                             np.repeat(np.arange(4, dtype=np.int64), n)),
+                         "band_val": pa.array(vals.reshape(-1))})
 
     exploded = ds.map_batches(bands, batch_format="pyarrow", batch_size=None)
     return exploded.groupby(["band_id", "band_val"]).aggregate(Count(alias_name="n"))
