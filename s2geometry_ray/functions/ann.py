@@ -424,6 +424,17 @@ def cosine_neardup_pairs(ds, tau=0.95, key_col="vec_id", emb_col="embedding",
         return raw
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
+        dropped = int(df.loc[df["truncated"] > 0, "truncated"].sum())
+        if dropped:
+            # default callers never see counter rows, so surface the loss
+            # in the worker log — truncation stays visible either way
+            # (ADVICE r3); opt into expose_truncation for the exact rows
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_neardup_pairs: %d candidate pairs dropped past "
+                "max_pairs_per_bucket (pass expose_truncation=True for "
+                "per-bucket counter rows)", dropped)
         return df.loc[df["truncated"] == 0, ["key_a", "key_b", "sim"]]
 
     return raw.map_batches(strip, batch_format="pandas")

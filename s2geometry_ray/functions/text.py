@@ -246,9 +246,13 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # one cache-friendly scatter aligns every doc
     if data.size:
         # int32 indices: the scatter's index traffic dominates the whole
-        # kernel at byte granularity (buffers are < 2 GiB per batch)
-        dst = (np.repeat((woff[:-1] * 8 - off[:-1]).astype(np.int32), lens)
-               + np.arange(data.size, dtype=np.int32))
+        # kernel at byte granularity.  The large_string path supports
+        # buffers past 2 GiB, where int32 would wrap SILENTLY into wrong
+        # (possibly colliding) dedup keys — fail loudly and widen instead
+        # (ADVICE r3).
+        idx_dtype = np.int32 if total_w * 8 < 2**31 else np.int64
+        dst = (np.repeat((woff[:-1] * 8 - off[:-1]).astype(idx_dtype), lens)
+               + np.arange(data.size, dtype=idx_dtype))
         buf[dst] = data
     words = buf.view(np.uint64)
     csum = np.empty(total_w + 1, dtype=np.uint64)

@@ -360,6 +360,16 @@ def knn(ds, query_ids, qlat, qlng, k: int, key_col: str,
         # The merged result is ≤ Q·k rows — materialize once so the two
         # filters below don't re-execute the pipeline.
         result = result.materialize()
+        if result.count() == 0:
+            # EVERY query had an empty candidate neighborhood: the empty
+            # merge may be schema-less, so the incomplete/union plumbing
+            # below would break — go straight to the brute fallback for
+            # all queries (ADVICE r3)
+            result = knn(ds, index.query_ids, np.asarray(qlat),
+                         np.asarray(qlng), k, key_col, lat_col, lng_col,
+                         keep_dist=True)
+            return result if keep_dist else result.select_columns(
+                ["query_id", key_col])
         # Ray's unique() yields None (not []) on an empty stream
         bad = set(result.map_batches(
             lambda t: t.filter(t["incomplete"]).select(["query_id"]),

@@ -89,7 +89,13 @@ def make_bound_fn(group_ids: np.ndarray, bounds: np.ndarray):
     sorted_bounds = np.ascontiguousarray(bounds[order])
 
     def fn(g: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(sorted_ids, g)
+        idx = np.minimum(np.searchsorted(sorted_ids, g),
+                         max(sorted_ids.size - 1, 0))
+        # ids not in the table would yield a silently-wrong bound (or an
+        # IndexError past the end) — fail loudly instead (ADVICE r3)
+        if sorted_ids.size == 0 or not np.array_equal(sorted_ids[idx], g):
+            missing = g if sorted_ids.size == 0 else g[sorted_ids[idx] != g]
+            raise KeyError(f"bound lookup: unknown group ids {missing[:5]!r}")
         return sorted_bounds[idx]
 
     return fn

@@ -878,6 +878,54 @@ def test_knn_pruned_query_with_empty_neighborhood(ray_session):
     assert got == want
 
 
+def test_knn_pruned_all_queries_empty_neighborhood(ray_session):
+    """ADVICE r4: when EVERY query's candidate cells hold zero points the
+    merged pruned result is empty (possibly schema-less) — the plan must
+    short-circuit to the brute fallback for all queries and stay exact."""
+    import ray.data as rd
+
+    from s2geometry_ray.stages.knn import knn
+
+    rng = np.random.default_rng(3)
+    lat = 10.0 + rng.uniform(-0.5, 0.5, 1000)
+    lng = 10.0 + rng.uniform(-0.5, 0.5, 1000)
+    cid = vk.from_latlng(lat, lng)
+    ds = rd.from_arrow(pa.table({
+        "pt_key": pa.array(np.arange(1000, dtype=np.int64)),
+        "lat": pa.array(lat), "lng": pa.array(lng),
+        "cell_id": pa.array(cid, type=pa.uint64()),
+    }))
+    # both queries ~40+ degrees from every point: zero candidates each
+    qlat = np.array([50.0, -60.0])
+    qlng = np.array([50.0, -120.0])
+    qids = np.array([7, 8], dtype=np.int64)
+    res = knn(ds, qids, qlat, qlng, 4, "pt_key", leaf_col="cell_id",
+              level=8, rings=1).to_pandas()
+    assert set(res["query_id"]) == {7, 8}
+    pxyz = vk.latlng_to_xyz(lat, lng)
+    qxyz = vk.latlng_to_xyz(qlat, qlng)
+    for qi, qid in enumerate(qids):
+        d2 = ((pxyz - qxyz[qi]) ** 2).sum(axis=1)
+        want = set(np.lexsort((np.arange(1000), d2))[:4].tolist())
+        got = set(res[res["query_id"] == qid]["pt_key"].tolist())
+        assert got == want, qid
+
+
+def test_topk_bound_fn_unknown_id_raises():
+    """ADVICE r4: make_bound_fn must fail loudly on ids outside its
+    table instead of returning a silently-wrong bound."""
+    import pytest
+
+    from s2geometry_ray.stages.topk import make_bound_fn
+
+    fn = make_bound_fn(np.array([3, 1, 2]), np.array([0.3, 0.1, 0.2]))
+    assert np.allclose(fn(np.array([1, 3, 2])), [0.1, 0.3, 0.2])
+    with pytest.raises(KeyError):
+        fn(np.array([1, 99]))       # past-the-end id
+    with pytest.raises(KeyError):
+        fn(np.array([0]))           # interior miss
+
+
 def test_fingerprint_null_text_raises():
     import pytest
 
