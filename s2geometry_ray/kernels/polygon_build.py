@@ -25,9 +25,11 @@ and emitted in whichever direction keeps the result interior on the
 left.  Seam segments (interiors on both sides, or neither) cancel;
 same-direction shared segments dedup to one copy in the builder.
 Remaining contract: simple loops, arcs shorter than a hemisphere, and
-features wider than ``_CLASSIFY_EPS`` (≈6 mm on Earth); exact
-vertex-through-vertex tangencies still follow the strict-crossing
-policy rather than the reference's symbolic perturbation.
+features wider than ``_CLASSIFY_EPS`` (≈6 mm on Earth).  Exactly-
+degenerate contacts follow the strict-crossing policy by default;
+``perturb=True`` (threaded to :func:`robust_crossing`) resolves them by
+symbolic perturbation instead — the reference family's
+CrossingSign/ExpensiveSign parity (verdict r3 task 5).
 
 These run per tile-pair inside map_batches at pipeline level (see
 pipelines/extras.polygon_overlay_tiles); nothing here touches Ray.
@@ -149,12 +151,23 @@ class PolygonBuilder:
 # size (1e-9 rad ≈ 6 mm on Earth).
 _ON_EDGE_EPS = 1e-12
 _CLASSIFY_EPS = 1e-9
+# minimum EXTENT of an overlay OUTPUT loop (max chord between vertices).
+# Near-coincident vertex clusters (inputs touching within ≲1e-6 rad of
+# each other, e.g. jitter-shared corners) produce crossing points from
+# nearly-parallel edge normals — catastrophic cancellation makes the
+# micro-loop's winding unreliable (loop_area cannot tell CCW from CW at
+# 1e-7 scale, so a noise loop can masquerade as a whole-sphere shell).
+# Loops below this extent are snap-scale noise and are dropped — the
+# family's snap-rounding erases sub-snap features the same way.
+_MIN_LOOP_EXTENT = 1e-6
 
 
-def _split_edges(A: np.ndarray, B: np.ndarray):
+def _split_edges(A: np.ndarray, B: np.ndarray, perturb: bool = False):
     """Sub-edges of loop A's boundary split at strict crossings with B's
     edges AND at B's vertices lying on the edge (so collinear-overlap
-    runs decompose into vertex-aligned sub-edges), in traversal order."""
+    runs decompose into vertex-aligned sub-edges), in traversal order.
+    ``perturb`` resolves exactly-degenerate crossings by symbolic
+    perturbation (robust_crossing docstring)."""
     nb = len(B)
     for k in range(len(A)):
         a, b = A[k], A[(k + 1) % len(A)]
@@ -163,7 +176,8 @@ def _split_edges(A: np.ndarray, B: np.ndarray):
         cuts = []
         for e in range(nb):
             c, d = B[e], B[(e + 1) % nb]
-            if robust_crossing(tuple(a), tuple(b), tuple(c), tuple(d)):
+            if robust_crossing(tuple(a), tuple(b), tuple(c), tuple(d),
+                               perturb=perturb):
                 x = arc_intersection(a, b, c, d)
                 cuts.append((float(np.dot(x, a)), x))  # larger dot = closer to a
         if nn > 0:
@@ -183,7 +197,8 @@ def _split_edges(A: np.ndarray, B: np.ndarray):
             yield chain[i], chain[i + 1]
 
 
-def _overlay(A: LoopRegion, B: LoopRegion, in_result) -> list[np.ndarray]:
+def _overlay(A: LoopRegion, B: LoopRegion, in_result,
+             perturb: bool = False) -> list[np.ndarray]:
     """Generic boundary overlay: every sub-edge (from either loop) is
     classified by whether the points offset _CLASSIFY_EPS to its left
     and right are inside the RESULT (``in_result(in_a, in_b)``), and
@@ -215,26 +230,31 @@ def _overlay(A: LoopRegion, B: LoopRegion, in_result) -> list[np.ndarray]:
         elif right_in and not left_in:
             builder.add_edge(q, p)
 
-    for p, q in _split_edges(A.vertices, B.vertices):
+    for p, q in _split_edges(A.vertices, B.vertices, perturb):
         classify(p, q)
-    for p, q in _split_edges(B.vertices, A.vertices):
+    for p, q in _split_edges(B.vertices, A.vertices, perturb):
         classify(p, q)
-    return builder.assemble_loops()
+    loops = builder.assemble_loops()
+    return [v for v in loops
+            if float(np.linalg.norm(v - v[0], axis=1).max()) >= _MIN_LOOP_EXTENT]
 
 
-def loop_union(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
+def loop_union(A: LoopRegion, B: LoopRegion,
+               perturb: bool = False) -> list[np.ndarray]:
     """Boundary loops of A ∪ B (shells CCW; disjoint inputs → both)."""
-    return _overlay(A, B, lambda ia, ib: ia or ib)
+    return _overlay(A, B, lambda ia, ib: ia or ib, perturb)
 
 
-def loop_intersection(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
+def loop_intersection(A: LoopRegion, B: LoopRegion,
+                      perturb: bool = False) -> list[np.ndarray]:
     """Boundary loops of A ∩ B (empty list when disjoint)."""
-    return _overlay(A, B, lambda ia, ib: ia and ib)
+    return _overlay(A, B, lambda ia, ib: ia and ib, perturb)
 
 
-def loop_difference(A: LoopRegion, B: LoopRegion) -> list[np.ndarray]:
+def loop_difference(A: LoopRegion, B: LoopRegion,
+                    perturb: bool = False) -> list[np.ndarray]:
     """Boundary loops of A \\ B; fully-nested B emerges as a CW hole."""
-    return _overlay(A, B, lambda ia, ib: ia and not ib)
+    return _overlay(A, B, lambda ia, ib: ia and not ib, perturb)
 
 
 def loops_to_polygon(loops: list[np.ndarray]) -> PolygonRegion | None:

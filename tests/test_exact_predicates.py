@@ -193,3 +193,112 @@ class TestSymbolicPerturbation:
         p = (1.0, 0.0, 0.0)
         with pytest.raises(ValueError):
             symbolic_sign(p, p, (0.0, 1.0, 0.0))
+
+
+class TestPerturbedCrossing:
+    """S22 with perturbation (verdict r3 task 5): exactly-degenerate arc
+    contacts resolve to a well-defined crossing parity."""
+
+    # quarter arc on the equator (z = 0 plane): exact coordinates
+    A = (1.0, 0.0, 0.0)
+    B = (0.0, 1.0, 0.0)
+    # point EXACTLY on the equator plane, strictly inside arc AB's span
+    S = float(np.sqrt(0.5))
+
+    def test_endpoint_on_arc_parity(self):
+        """An arc ENDING exactly on AB crosses on exactly one of its two
+        continuations (up vs down) under perturbation; default mode
+        keeps the strict-crossing False for both."""
+        from s2geometry_ray.kernels.geometry import robust_crossing
+        v = (self.S, self.S, 0.0)
+        up = (0.5, 0.5, 0.7)
+        down = (0.5, 0.5, -0.7)
+        assert not robust_crossing(self.A, self.B, v, up)
+        assert not robust_crossing(self.A, self.B, v, down)
+        r_up = robust_crossing(self.A, self.B, v, up, perturb=True)
+        r_down = robust_crossing(self.A, self.B, v, down, perturb=True)
+        assert r_up != r_down  # exactly one side crosses
+
+    def test_chain_through_point_crosses_once(self):
+        """A 2-segment chain c→v→d passing exactly THROUGH a point v on
+        AB crosses exactly once when c,d are on opposite sides, and an
+        even number of times when on the same side."""
+        from s2geometry_ray.kernels.geometry import robust_crossing
+        v = (self.S, self.S, 0.0)
+        up = (0.5, 0.5, 0.7)
+        down = (0.5, 0.5, -0.7)
+        n = sum([robust_crossing(self.A, self.B, up, v, perturb=True),
+                 robust_crossing(self.A, self.B, v, down, perturb=True)])
+        assert n == 1, n
+        up2 = (0.55, 0.45, 0.7)
+        n_same = sum([robust_crossing(self.A, self.B, up, v, perturb=True),
+                      robust_crossing(self.A, self.B, v, up2, perturb=True)])
+        assert n_same in (0, 2), n_same
+
+    def test_shared_vertex_stays_false(self):
+        """Arcs sharing a vertex return False in BOTH modes (vertex
+        crossings are positional in the overlay, per the docstring)."""
+        from s2geometry_ray.kernels.geometry import robust_crossing
+        c = (0.0, 0.0, 1.0)
+        assert not robust_crossing(self.A, self.B, self.A, c)
+        assert not robust_crossing(self.A, self.B, self.A, c, perturb=True)
+
+    def test_nondegenerate_unchanged(self):
+        """perturb must not change any non-degenerate answer."""
+        from s2geometry_ray.kernels.geometry import robust_crossing
+        rng = np.random.default_rng(11)
+        for _ in range(200):
+            a, b, c, d = (tuple(v / np.linalg.norm(v))
+                          for v in rng.normal(size=(4, 3)))
+            assert robust_crossing(a, b, c, d) == \
+                robust_crossing(a, b, c, d, perturb=True)
+
+
+def test_overlay_vertex_through_edge_both_modes():
+    """Overlay with an EXACTLY-degenerate contact: B has a vertex lying
+    exactly on A's edge plane (z=0).  Union/intersection/difference
+    membership must match the boolean of inputs in BOTH the default
+    strict-crossing mode and the perturbed mode (gate-compatible)."""
+    from s2geometry_ray.kernels.polygon_build import (
+        loop_difference, loop_intersection, loop_union, loops_to_polygon)
+    from s2geometry_ray.kernels.regions import LoopRegion
+
+    s = float(np.sqrt(0.5))
+    # A: spherical square straddling the equator (z = 0 plane edge-free:
+    # its edges are meridian-ish arcs and two z=const arcs — use raw xyz)
+    A = LoopRegion(np.array([
+        [0.9, -0.3, -0.3], [0.9, 0.3, -0.3], [0.9, 0.3, 0.3],
+        [0.9, -0.3, 0.3]]) / np.linalg.norm([0.9, 0.3, 0.3]))
+    # B: triangle with one vertex EXACTLY on A's bottom edge plane
+    # (the plane through (0.9,-0.3,-0.3),(0.9,0.3,-0.3) and the origin)
+    # pick the midpoint direction of that edge, exactly coplanar:
+    vmid = np.array([0.9, 0.0, -0.3])
+    vmid = vmid / np.linalg.norm(vmid)
+    B = LoopRegion(np.stack([
+        vmid,
+        np.array([0.9, -0.12, -0.55]) / np.linalg.norm([0.9, -0.12, -0.55]),
+        np.array([0.9, 0.12, -0.55]) / np.linalg.norm([0.9, 0.12, -0.55]),
+    ]))
+    rng = np.random.default_rng(21)
+    v = rng.normal(size=(5000, 3))
+    pts = v / np.linalg.norm(v, axis=1, keepdims=True)
+    ina = A.contains_points(pts)
+    inb = B.contains_points(pts)
+    # exclude points near either boundary (classification contract)
+    margin = np.ones(len(pts), dtype=bool)
+    for loop in (A, B):
+        vv = loop.vertices
+        for k in range(len(vv)):
+            p0, p1 = vv[k], vv[(k + 1) % len(vv)]
+            n = np.cross(p0, p1)
+            n = n / np.linalg.norm(n)
+            margin &= np.abs(pts @ n) > 2e-3
+    for perturb in (False, True):
+        for op, ref in ((loop_union, ina | inb),
+                        (loop_intersection, ina & inb),
+                        (loop_difference, ina & ~inb)):
+            res = loops_to_polygon(op(A, B, perturb=perturb))
+            got = (np.zeros(len(pts), dtype=bool) if res is None
+                   else res.contains_points(pts))
+            agree = (got[margin] == ref[margin]).mean()
+            assert agree == 1.0, (op.__name__, perturb, agree)

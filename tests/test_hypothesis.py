@@ -169,3 +169,66 @@ def test_polygon_boolean_random_star_shapes(lat0, lng0, seed):
                else res.contains_points(pts))
         want = op(ina, inb)
         assert (got[margin] == want[margin]).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-30, 30), st.floats(-60, 60), st.floats(4, 10),
+       st.sampled_from([0.0, 1e-15, 1e-13, 1e-7]),
+       st.integers(0, 3), st.booleans(), st.integers(0, 2**32 - 1))
+def test_polygon_boolean_shared_vertex_jitter(lat0, lng0, size, eps,
+                                              shared_idx, perturb, seed):
+    """Verdict r3 task 8: overlay membership algebra when B SHARES a
+    vertex of A — exactly (eps=0: the degenerate-contact path, strict
+    policy and symbolic perturbation both), jittered below the builder
+    snap radius (1e-15/1e-13: float triage fails over to exact
+    arithmetic, sliver snaps away), or jittered above _CLASSIFY_EPS
+    (1e-7: a real feature).  The band AROUND _CLASSIFY_EPS (≈1e-9) is
+    outside the overlay's documented feature-size contract and is
+    deliberately not generated.  Runs with perturb False AND True."""
+    from s2geometry_ray.kernels.polygon_build import (
+        loop_difference, loop_intersection, loop_union, loops_to_polygon)
+    from s2geometry_ray.kernels.regions import LoopRegion
+
+    def quad(la, ln, s):
+        return LoopRegion.from_latlng_degrees(
+            [(la, ln), (la, ln + s), (la + s, ln + s), (la + s, ln)])
+
+    A = quad(lat0, lng0, size)
+    rng = np.random.default_rng(seed)
+    # B: a quad one of whose vertices is A's vertex `shared_idx`
+    # (ε-jittered in xyz), the rest offset outward so the loops overlap
+    # transversally elsewhere
+    av = A.vertices[shared_idx].copy()
+    if eps:
+        av = av + rng.normal(0.0, eps, 3)
+        av = av / np.linalg.norm(av)
+    s2 = size * 0.8
+    blat = lat0 + size * 0.45 + rng.uniform(-0.2, 0.2) * size
+    blng = lng0 + size * 0.45 + rng.uniform(-0.2, 0.2) * size
+    Bq = quad(blat, blng, s2)
+    bv = Bq.vertices.copy()
+    bv[0] = av
+    B = LoopRegion(bv)
+    lat = lat0 + rng.uniform(-1.5, 1.5, 400) * size
+    lng = lng0 + rng.uniform(-1.5, 1.5, 400) * size
+    phi, th = np.radians(lat), np.radians(lng)
+    pts = np.stack([np.cos(phi) * np.cos(th), np.cos(phi) * np.sin(th),
+                    np.sin(phi)], axis=1)
+    margin = np.ones(len(pts), dtype=bool)
+    for loop in (A, B):
+        v = loop.vertices
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            nn = np.linalg.norm(n)
+            if nn == 0:
+                return  # degenerate B quad (jitter collapsed an edge)
+            margin &= np.abs(pts @ (n / nn)) > 5e-4
+    ina, inb = A.contains_points(pts), B.contains_points(pts)
+    for fn, op in ((loop_union, np.logical_or),
+                   (loop_intersection, np.logical_and),
+                   (loop_difference, lambda a, b: a & ~b)):
+        res = loops_to_polygon(fn(A, B, perturb=perturb))
+        got = (np.zeros(len(pts), dtype=bool) if res is None
+               else res.contains_points(pts))
+        want = op(ina, inb)
+        assert (got[margin] == want[margin]).all(), (fn.__name__, eps, perturb)
