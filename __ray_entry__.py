@@ -12,9 +12,9 @@ sides (see sources/geotag.py).  Non-relational semantics get generated
 twins instead (functions/cellid_sql.py, functions/gate_oracles.py):
 recomputed-in-SQL SimHash/banding/bit-arithmetic, driver-evaluated
 deterministic-fixture constants with SQL-derived columns, and
-measured-value pins.  Only genuinely probabilistic candidate generation
-(MinHash-LSH recall, IVF top-k) and the spherical overlay stay
-rows-only — their correctness lives in the pytest oracle (tests/).
+measured-value pins.  Only IVF top-k stays rows-only (genuinely
+probabilistic retrieval — its quality is pinned separately by the
+ivf_recall gate); its correctness lives in the pytest oracle (tests/).
 """
 
 from __future__ import annotations
@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["doc_id", "lang_pred"])
 
     def minhash_pairs_docs(sf):
+        """LSH candidate pairs, value-checked against a bit-exact SQL
+        recompute of the whole chain (shingle splitmix64 → affine
+        Mersenne minima → FNV band fold → capped bucket triangles):
+        candidate generation is DETERMINISTIC given the seeded
+        permutation constants, which the twin embeds."""
         from s2geometry_ray.functions.dedup import minhash_candidate_pairs
 
         return minhash_candidate_pairs(_docs(sf))
@@ -135,10 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["doc_id", "shuf64"])
 
     def neardup_jaccard_docs(sf):
-        """MinHash-LSH candidates verified by EXACT n-gram Jaccard ≥ 0.5
-        (rows-only: LSH candidate recall is probabilistic, so a SQL twin
-        would flag missed candidates as mismatches; the verify stage's
-        exactness is pytest-pinned against brute shingle Jaccard)."""
+        """MinHash-LSH candidates verified by EXACT n-gram Jaccard ≥ 0.5,
+        value-checked against a SQL twin that recomputes the SAME
+        deterministic candidate set (see minhash_pairs_docs) and the
+        exact shingle-set Jaccard with the engine's IEEE float rounding
+        (np.rint half-to-even spelled out in SQL)."""
         from s2geometry_ray.functions.dedup import jaccard_verified_pairs
 
         return jaccard_verified_pairs(_docs(sf), tau=0.5)
@@ -366,6 +372,13 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample_av": G.video_frame_sample_sql(120, every=4),
         "ivf_recall_embeddings": G.ivf_recall_sql(
             recall_pct=G.IVF_RECALL_PIN_SF001, n_queries=5),
+        # round-4 conversions: the kperm MinHash chain is deterministic
+        # given its seeded permutation constants, so LSH candidates and
+        # the Jaccard-verified pairs both get bit-exact recomputed SQL
+        # twins; the overlay gets a driver-side scalar recompute pin.
+        "minhash_pairs_docs": G.minhash_pairs_docs_sql(),
+        "neardup_jaccard_docs": G.neardup_jaccard_docs_sql(tau=0.5),
+        "polygon_overlay_tiles": G.polygon_overlay_tiles_sql(),
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,

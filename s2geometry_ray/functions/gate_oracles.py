@@ -334,6 +334,158 @@ def video_frame_sample_sql(n: int = 120, every: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# minhash LSH: full recomputed twin (byte shingles → affine minima →
+# FNV band fold → capped bucket triangles), round-4 conversion
+# ---------------------------------------------------------------------------
+
+
+def minhash_ctes(num_perm: int = 64, bands: int = 16, width: int = 5,
+                 seed: int = 1234, max_bucket: int = 256,
+                 table: str = "documents", key: str = "doc_id",
+                 text: str = "text") -> str:
+    """CTE chain ending in ``pairs(key_a, key_b)`` — the LSH candidate
+    set — plus ``sh(k, h)`` (per-doc DISTINCT shingle hashes), rederiving
+    the engine's kperm MinHash bit-exactly in SQL:
+
+    - shingles: ``width``-byte windows of lower(text) ('_'-padded below
+      width), packed big-endian then splitmix64-mixed; DISTINCT per doc
+      (splitmix64 is a bijection, so distinct-raw == distinct-mixed);
+    - affine minima: sig[p] = min over shingles of
+      ((h·a_p + b_p) mod 2⁶⁴) mod (2⁶¹−1) — the uint64 WRAP before the
+      Mersenne reduction is part of the engine value (dedup._mod_mersenne
+      applies to the wrapped product), so the SQL mods twice too;
+    - band hash: FNV-style fold h ← h·0x100000001B3 + sig (mod 2⁶⁴)
+      over the band's rows;
+    - buckets → pairs: per (band_id, band_hash) bucket, keys ranked
+      ascending, capped at ``max_bucket`` (the engine's documented
+      recall/size trade), triangle join, DISTINCT across bands.
+
+    The a/b permutation constants are the engine's own seeded draws,
+    embedded as VALUES — candidate generation is deterministic given
+    them, so this is an exact twin, not a probabilistic bound."""
+    from s2geometry_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed,
+                   shingle_width=width)
+    rows = num_perm // bands
+    perm_vals = ", ".join(
+        f"({p}, {_u64_lit(int(mh.a[p]))}, {_u64_lit(int(mh.b[p]))})"
+        for p in range(num_perm))
+    # big-endian byte pack of the width-window (ASCII corpora: char ==
+    # byte, the simhash-twin precondition)
+    pack = "CAST(ascii(substr(t, p, 1)) AS UBIGINT)"
+    for k in range(1, width):
+        pack = f"({pack}) * 256 + CAST(ascii(substr(t, p + {k}, 1)) AS UBIGINT)"
+    mixed = sql_splitmix64("raw")
+    mersenne = (1 << 61) - 1
+    affine = (f"CAST(CAST((CAST(h AS HUGEINT) * a + b) % {_U64} AS UBIGINT)"
+              f" % {mersenne} AS UBIGINT)")
+    sig_cols = ", ".join(
+        f"MAX(CASE WHEN perm % {rows} = {r} THEN sig END) AS s{r}"
+        for r in range(rows))
+    fold = "CAST(s0 AS UBIGINT)"
+    for r in range(1, rows):
+        prod = _sql_mulmod(f"({fold})", 0x100000001B3)
+        fold = (f"CAST((CAST({prod} AS HUGEINT) + s{r}) % {_U64}"
+                f" AS UBIGINT)")
+    return f"""
+WITH pad AS (
+  SELECT {key} AS k,
+         CASE WHEN length({text}) >= {width} THEN lower({text})
+              ELSE lower({text}) || repeat('_', {width} - length({text}))
+         END AS t
+  FROM {table}),
+win AS (
+  SELECT k, t, unnest(generate_series(1, length(t) - {width - 1})) AS p
+  FROM pad),
+shraw AS (SELECT DISTINCT k, {pack} AS raw FROM win),
+sh AS (SELECT k, {mixed} AS h FROM shraw),
+aff AS (
+  SELECT k, perm, MIN({affine}) AS sig
+  FROM sh, (VALUES {perm_vals}) AS perms(perm, a, b)
+  GROUP BY k, perm),
+bsig AS (
+  SELECT k, perm // {rows} AS band_id, {sig_cols}
+  FROM aff GROUP BY k, perm // {rows}),
+bh AS (SELECT k, band_id, {fold} AS band_hash FROM bsig),
+ranked AS (
+  SELECT k, band_id, band_hash,
+         ROW_NUMBER() OVER (PARTITION BY band_id, band_hash ORDER BY k) AS rn
+  FROM bh),
+capped AS (SELECT * FROM ranked WHERE rn <= {max_bucket}),
+pairs AS (
+  SELECT DISTINCT x.k AS key_a, y.k AS key_b
+  FROM capped x JOIN capped y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.rn < y.rn)
+"""
+
+
+def minhash_pairs_docs_sql(**kw) -> str:
+    return minhash_ctes(**kw) + """
+SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b
+FROM pairs
+"""
+
+
+def neardup_jaccard_docs_sql(tau: float = 0.5, **kw) -> str:
+    """LSH candidates (twin above) verified by EXACT shingle-set Jaccard,
+    replicating the engine's float path: jac = i/u and jac·10⁴ are the
+    same IEEE-754 double ops on both engines, and the final np.rint
+    half-to-EVEN is spelled out (DuckDB round() is half-away-from-zero,
+    which differs exactly at .5 fractions)."""
+    return minhash_ctes(**kw) + f"""
+, sizes AS (SELECT k, count(*) AS c FROM sh GROUP BY k),
+inter AS (
+  SELECT p.key_a, p.key_b, count(*) AS i
+  FROM pairs p
+  JOIN sh x ON x.k = p.key_a
+  JOIN sh y ON y.k = p.key_b AND y.h = x.h
+  GROUP BY p.key_a, p.key_b),
+iu AS (
+  SELECT p.key_a, p.key_b, COALESCE(i.i, 0) AS i,
+         sa.c + sb.c - COALESCE(i.i, 0) AS u
+  FROM pairs p
+  LEFT JOIN inter i ON i.key_a = p.key_a AND i.key_b = p.key_b
+  JOIN sizes sa ON sa.k = p.key_a
+  JOIN sizes sb ON sb.k = p.key_b),
+jv AS (
+  SELECT key_a, key_b,
+         (CAST(i AS DOUBLE) / CAST(u AS DOUBLE)) * 10000 AS v,
+         CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jac
+  FROM iu)
+SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b,
+       CAST(floor(v) AS BIGINT)
+       + CASE WHEN v - floor(v) > 0.5 THEN 1
+              WHEN v - floor(v) = 0.5 THEN CAST(floor(v) AS BIGINT) % 2
+              ELSE 0 END AS jaccard_e4
+FROM jv WHERE jac >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# polygon overlay: driver-side scalar recompute pin (the decode /
+# covering "distributed == driver == stamp" pattern)
+# ---------------------------------------------------------------------------
+
+
+def polygon_overlay_tiles_sql() -> str:
+    """Expected (a, b, op, n_loops, n_holes, n_vertices) rows from a
+    DRIVER-side run of the same overlay kernels over the fixed nation
+    keys 0..24 (identical at every TPC-H SF, like covering_tiles); the
+    Ray query recomputes them inside map_batches on workers."""
+    from s2geometry_ray.pipelines.extras import overlay_summary_rows
+
+    vals = ", ".join(
+        f"({a}, {b}, {_str_lit(op)}, {nl}, {nh}, {nv})"
+        for a, b, op, nl, nh, nv in overlay_summary_rows(range(25)))
+    return ("SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, op, "
+            "CAST(n_loops AS BIGINT) AS n_loops, "
+            "CAST(n_holes AS BIGINT) AS n_holes, "
+            "CAST(n_vertices AS BIGINT) AS n_vertices FROM (VALUES "
+            + vals + ") AS t(a, b, op, n_loops, n_holes, n_vertices)")
+
+
+# ---------------------------------------------------------------------------
 # measured-value pin
 # ---------------------------------------------------------------------------
 

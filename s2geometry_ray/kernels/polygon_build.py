@@ -66,18 +66,39 @@ class PolygonBuilder:
         self._grid: dict[tuple, list[int]] = {}
         self._edges: list[tuple[int, int]] = []
         self._edge_set: set[tuple[int, int]] = set()
+        self._parent: list[int] = []
+
+    def _find(self, i: int) -> int:
+        while self._parent[i] != i:
+            self._parent[i] = self._parent[self._parent[i]]
+            i = self._parent[i]
+        return i
 
     def _snap(self, p: np.ndarray) -> int:
+        """Snap ``p`` to an existing vertex within ``snap_radius``.
+
+        Collects ALL in-radius hits and unions them: a point lying
+        within radius of two vertices that are themselves just over the
+        radius apart (crossing-point noise around a jitter-shared
+        corner) BRIDGES the clusters — first-fit snapping would pick one
+        and leave the edge cycle broken at the other."""
         p = np.asarray(p, dtype=np.float64)
         q = tuple(np.floor(p / max(self.snap_radius, 1e-15)).astype(np.int64))
+        hits: list[int] = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 for dz in (-1, 0, 1):
                     for vid in self._grid.get((q[0] + dx, q[1] + dy, q[2] + dz), ()):
                         if float(np.linalg.norm(self._verts[vid] - p)) <= self.snap_radius:
-                            return vid
+                            hits.append(vid)
+        if hits:
+            roots = sorted({self._find(v) for v in hits})
+            for r in roots[1:]:
+                self._parent[r] = roots[0]
+            return roots[0]
         vid = len(self._verts)
         self._verts.append(p)
+        self._parent.append(vid)
         self._grid.setdefault(q, []).append(vid)
         return vid
 
@@ -89,10 +110,34 @@ class PolygonBuilder:
             self._edge_set.add((ia, ib))
             self._edges.append((ia, ib))
 
+    def merge_vertices(self, a, b) -> None:
+        """Identify two points as one site (used to CONTRACT sub-edges
+        too short to classify laterally — see _overlay): edges already
+        or later recorded against either id resolve to the merged
+        representative at assembly."""
+        ra, rb = self._find(self._snap(a)), self._find(self._snap(b))
+        if ra != rb:
+            self._parent[max(ra, rb)] = min(ra, rb)
+
     def _tangent(self, v: np.ndarray, toward: np.ndarray) -> np.ndarray:
         t = np.cross(np.cross(v, toward), v)
         n = np.linalg.norm(t)
         return t / n if n > 0 else t
+
+    def _merge_sites(self) -> list[tuple[int, int]]:
+        """Edges remapped through the union-find: a vertex id recorded
+        in an edge may later have been merged into another cluster by a
+        bridging snap (see ``_snap``), so assembly resolves every
+        endpoint to its final representative; self-loops and duplicates
+        produced by the merge are dropped."""
+        merged: list[tuple[int, int]] = []
+        seen: set[tuple[int, int]] = set()
+        for ia, ib in self._edges:
+            e = (self._find(ia), self._find(ib))
+            if e[0] != e[1] and e not in seen:
+                seen.add(e)
+                merged.append(e)
+        return merged
 
     def assemble_loops(self) -> list[np.ndarray]:
         """Stitch directed edges into closed loops (leftmost turn at
@@ -104,7 +149,7 @@ class PolygonBuilder:
         walk that dead-ends (degenerate input) abandons its edges
         instead of raising, so callers degrade to partial output."""
         out: dict[int, list[int]] = {}
-        for ia, ib in self._edges:
+        for ia, ib in self._merge_sites():
             out.setdefault(ia, []).append(ib)
         loops: list[np.ndarray] = []
         while any(out.values()):
@@ -160,6 +205,23 @@ _CLASSIFY_EPS = 1e-9
 # Loops below this extent are snap-scale noise and are dropped — the
 # family's snap-rounding erases sub-snap features the same way.
 _MIN_LOOP_EXTENT = 1e-6
+# crossing points computed within this distance of an edge ENDPOINT
+# clamp onto the endpoint (the family's builder has vertex sites absorb
+# nearby crossings).  arc_intersection of edges meeting near a shared /
+# jitter-shared vertex carries ~1e-12 cancellation error — more than
+# the 1e-12 snap radius can absorb — so without the clamp the cut point
+# and the true corner become distinct builder vertices and the boundary
+# cycle dead-ends.  1e-10 is ≫ the observed error and still below the
+# documented feature-size contract (_CLASSIFY_EPS).
+_ENDPOINT_SNAP_EPS = 1e-10
+# overlay sub-edges SHORTER than this are contracted (endpoints merged
+# as one builder site) instead of classified: the left/right probes sit
+# _CLASSIFY_EPS off the edge, so for an edge not much longer than that
+# the probes sample containment in the corner cluster the edge lives in
+# and the emitted direction is a coin flip — a backwards micro-edge
+# orphans the boundary walk.  Contraction displaces the boundary by
+# < 1e-7, far below the 1e-6 minimum output feature size.
+_MICRO_EDGE_EPS = 1e-7
 
 
 def _split_edges(A: np.ndarray, B: np.ndarray, perturb: bool = False):
@@ -179,6 +241,13 @@ def _split_edges(A: np.ndarray, B: np.ndarray, perturb: bool = False):
             if robust_crossing(tuple(a), tuple(b), tuple(c), tuple(d),
                                perturb=perturb):
                 x = arc_intersection(a, b, c, d)
+                # endpoint absorption: a crossing essentially AT a or b
+                # contributes no interior cut (the chain already starts /
+                # ends there); keeping the noisy computed point would
+                # split off a sub-snap-radius vertex that breaks the cycle
+                if (float(np.linalg.norm(x - a)) <= _ENDPOINT_SNAP_EPS
+                        or float(np.linalg.norm(x - b)) <= _ENDPOINT_SNAP_EPS):
+                    continue
                 cuts.append((float(np.dot(x, a)), x))  # larger dot = closer to a
         if nn > 0:
             dot_ab = float(np.dot(a, b))
@@ -211,6 +280,9 @@ def _overlay(A: LoopRegion, B: LoopRegion, in_result,
     builder = PolygonBuilder()
 
     def classify(p: np.ndarray, q: np.ndarray) -> None:
+        if float(np.linalg.norm(q - p)) < _MICRO_EDGE_EPS:
+            builder.merge_vertices(p, q)  # too short to classify: contract
+            return
         n = np.cross(p, q)  # points LEFT of p→q
         nn = np.linalg.norm(n)
         if nn == 0:
@@ -235,8 +307,25 @@ def _overlay(A: LoopRegion, B: LoopRegion, in_result,
     for p, q in _split_edges(B.vertices, A.vertices, perturb):
         classify(p, q)
     loops = builder.assemble_loops()
-    return [v for v in loops
-            if float(np.linalg.norm(v - v[0], axis=1).max()) >= _MIN_LOOP_EXTENT]
+    return [v for v in loops if _loop_is_feature(v)]
+
+
+def _loop_is_feature(v: np.ndarray) -> bool:
+    """Output-loop noise filter: drop loops below _MIN_LOOP_EXTENT (max
+    chord) AND loops whose mean WIDTH (spherical area / extent) is below
+    the same threshold.  A jitter-shared corner can emit a genuine but
+    sliver-thin intersection loop (extent ~1e-6, width ~1e-7) whose
+    width sits UNDER LoopRegion's 1e-7 witness displacement — its
+    containment parity then inverts globally and the sliver masquerades
+    as a whole-sphere shell.  The family's snap rounding erases
+    sub-snap features the same way; both cutoffs are the documented
+    minimum feature size."""
+    ext = float(np.linalg.norm(v - v[0], axis=1).max())
+    if ext < _MIN_LOOP_EXTENT:
+        return False
+    a = float(loop_area([tuple(p) for p in v]))
+    width = min(a, 4 * math.pi - a) / ext
+    return width >= _MIN_LOOP_EXTENT
 
 
 def loop_union(A: LoopRegion, B: LoopRegion,

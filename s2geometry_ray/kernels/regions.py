@@ -207,8 +207,15 @@ class LoopRegion(Region):
         return LoopRegion(np.asarray(pts))
 
     def _make_witness(self) -> np.ndarray:
-        a = self.vertices[0]
-        b = self.vertices[1]
+        # anchor at the LONGEST edge: the interior beside its midpoint is
+        # locally a half-plane, so the fixed 1e-7 displacement stays
+        # inside.  Edge 0 can be a micro-edge inside a narrow corner
+        # wedge (overlay output at a jitter-shared vertex), where a
+        # 1e-7 step overshoots the wedge and inverts parity globally.
+        k = int(np.argmax(np.linalg.norm(self._edges_b - self._edges_a,
+                                         axis=1)))
+        a = self.vertices[k]
+        b = self.vertices[(k + 1) % len(self.vertices)]
         m = normalize((a + b).tolist())
         t = b - np.asarray(m) * float(np.dot(b, m))
         t = t / np.linalg.norm(t)

@@ -451,11 +451,54 @@ FROM cell GROUP BY cell_l8
 """
 
 
+def _overlay_tile_loop(key: int):
+    from s2geometry_ray.kernels.regions import LoopRegion
+
+    # staggered grid: consecutive keys overlap TRANSVERSALLY (the
+    # overlay's general-position contract — no collinear edges)
+    lat0 = float((key % 5) * 8 - 20)
+    lng0 = float((key // 5) * 8 - 10 + (key % 5) * 3)
+    return LoopRegion.from_latlng_degrees(
+        [(lat0, lng0), (lat0, lng0 + 10), (lat0 + 10, lng0 + 10),
+         (lat0 + 10, lng0)])
+
+
+def _overlay_rows_for_pairs(pairs) -> list[tuple]:
+    """(a, b, op, n_loops, n_holes, n_vertices) tuples for each tile
+    pair — the single overlay computation shared by the Ray pipeline
+    (inside map_batches) and the gate oracle (driver-side pin)."""
+    from s2geometry_ray.kernels.polygon_build import (
+        loop_difference, loop_intersection, loop_union, loops_to_polygon)
+
+    ops = [("union", loop_union), ("intersection", loop_intersection),
+           ("difference", loop_difference)]
+    rows = []
+    for a, b in pairs:
+        A, B = _overlay_tile_loop(a), _overlay_tile_loop(b)
+        for name, fn in ops:
+            loops = fn(A, B)
+            poly = loops_to_polygon(loops)
+            rows.append((int(a), int(b), name, len(loops),
+                         0 if poly is None else len(poly.holes),
+                         int(sum(len(v) for v in loops))))
+    return rows
+
+
+def overlay_summary_rows(keys) -> list[tuple]:
+    """Overlay summaries for consecutive pairs of the sorted keys —
+    driver-side twin of the polygon_overlay_tiles pipeline (the gate
+    oracle embeds these as a VALUES pin)."""
+    k = np.sort(np.asarray(list(keys), dtype=np.int64))
+    return _overlay_rows_for_pairs(zip(k[:-1], k[1:]))
+
+
 def polygon_overlay_tiles(sf_dir: str):
     """A5/A6 as a pipeline: pairwise union / intersection / difference
     over deterministic overlapping square tiles derived from nation
     keys, overlaid INSIDE map_batches (one task per batch of pairs).
-    Rows-only gate (spherical overlay is not SQL-expressible); the
+    Value-checked against a driver-side scalar recompute pin
+    (gate_oracles.polygon_overlay_tiles_sql) — the spherical overlay is
+    not SQL-expressible, so the oracle pins distributed == driver; the
     geometric contract lives in tests/test_polygon_bool.py."""
     import pyarrow.parquet as pq
 
@@ -463,44 +506,17 @@ def polygon_overlay_tiles(sf_dir: str):
     k = np.sort(keys["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64))
     pairs = pa.table({"a": pa.array(k[:-1]), "b": pa.array(k[1:])})
 
-    def _loop(key: int):
-        from s2geometry_ray.kernels.regions import LoopRegion
-
-        # staggered grid: consecutive keys overlap TRANSVERSALLY (the
-        # overlay's general-position contract — no collinear edges)
-        lat0 = float((key % 5) * 8 - 20)
-        lng0 = float((key // 5) * 8 - 10 + (key % 5) * 3)
-        return LoopRegion.from_latlng_degrees(
-            [(lat0, lng0), (lat0, lng0 + 10), (lat0 + 10, lng0 + 10),
-             (lat0 + 10, lng0)])
-
     def overlay(batch: pa.Table) -> pa.Table:
-        from s2geometry_ray.kernels.polygon_build import (
-            loop_difference, loop_intersection, loop_union, loops_to_polygon)
-        from s2geometry_ray.oracle.s2 import loop_area
-
-        rows = {"a": [], "b": [], "op": [], "n_loops": [], "n_holes": [],
-                "n_vertices": []}
-        ops = [("union", loop_union), ("intersection", loop_intersection),
-               ("difference", loop_difference)]
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            A, B = _loop(a), _loop(b)
-            for name, fn in ops:
-                loops = fn(A, B)
-                poly = loops_to_polygon(loops)
-                rows["a"].append(a)
-                rows["b"].append(b)
-                rows["op"].append(name)
-                rows["n_loops"].append(len(loops))
-                rows["n_holes"].append(0 if poly is None else len(poly.holes))
-                rows["n_vertices"].append(int(sum(len(v) for v in loops)))
+        rows = _overlay_rows_for_pairs(
+            zip(batch["a"].to_pylist(), batch["b"].to_pylist()))
+        cols = list(zip(*rows)) if rows else [[]] * 6
         return pa.table({
-            "a": pa.array(rows["a"], type=pa.int64()),
-            "b": pa.array(rows["b"], type=pa.int64()),
-            "op": pa.array(rows["op"], type=pa.string()),
-            "n_loops": pa.array(rows["n_loops"], type=pa.int64()),
-            "n_holes": pa.array(rows["n_holes"], type=pa.int64()),
-            "n_vertices": pa.array(rows["n_vertices"], type=pa.int64()),
+            "a": pa.array(cols[0], type=pa.int64()),
+            "b": pa.array(cols[1], type=pa.int64()),
+            "op": pa.array(cols[2], type=pa.string()),
+            "n_loops": pa.array(cols[3], type=pa.int64()),
+            "n_holes": pa.array(cols[4], type=pa.int64()),
+            "n_vertices": pa.array(cols[5], type=pa.int64()),
         })
 
     return rd.from_arrow(pairs).map_batches(overlay, batch_format="pyarrow",
