@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample_av": video_frame_sample_av,
         "cosine_neardup_embeddings": cosine_neardup_embeddings,
         "polygon_overlay_tiles": X.polygon_overlay_tiles,
+        "polyline_ops_routes": X.polyline_ops_routes,
     }
 
 
@@ -379,6 +380,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_docs": G.minhash_pairs_docs_sql(),
         "neardup_jaccard_docs": G.neardup_jaccard_docs_sql(tau=0.5),
         "polygon_overlay_tiles": G.polygon_overlay_tiles_sql(),
+        # S23 polyline surface (interpolate / suffix / subsample):
+        # driver-side recompute pin, same pattern as the overlay
+        "polyline_ops_routes": G.polyline_ops_routes_sql(),
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,

@@ -485,6 +485,22 @@ def polygon_overlay_tiles_sql() -> str:
             + vals + ") AS t(a, b, op, n_loops, n_holes, n_vertices)")
 
 
+def polyline_ops_routes_sql() -> str:
+    """Expected (key, n_in, n_out, length_e9, mid_lat_e7, mid_lng_e7,
+    suffix_n) rows from a DRIVER-side run of the same polyline kernels
+    (interpolate / suffix / subsample_vertices) over the fixed nation
+    keys 0..24; the Ray query recomputes them inside map_batches."""
+    from s2geometry_ray.pipelines.extras import polyline_summary_rows
+
+    cols = ["key", "n_in", "n_out", "length_e9", "mid_lat_e7",
+            "mid_lng_e7", "suffix_n"]
+    vals = ", ".join("(" + ", ".join(str(x) for x in row) + ")"
+                     for row in polyline_summary_rows(range(25)))
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return (f"SELECT {sel} FROM (VALUES " + vals
+            + ") AS t(" + ", ".join(cols) + ")")
+
+
 # ---------------------------------------------------------------------------
 # measured-value pin
 # ---------------------------------------------------------------------------

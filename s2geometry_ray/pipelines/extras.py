@@ -521,3 +521,75 @@ def polygon_overlay_tiles(sf_dir: str):
 
     return rd.from_arrow(pairs).map_batches(overlay, batch_format="pyarrow",
                                             batch_size=8)
+
+
+# ---------------------------------------------------------------------------
+# S2Polyline surface as a pipeline: interpolate / suffix / subsample
+# (kernels/polyline.py) over deterministic per-nation routes
+# ---------------------------------------------------------------------------
+
+_POLYLINE_TOL = 2e-4
+
+
+def _route_for_key(key: int) -> np.ndarray:
+    """Deterministic 16-vertex wiggly route derived from a nation key
+    (identical at every TPC-H SF, like the overlay tiles)."""
+    from s2geometry_ray.oracle import s2 as _s2
+
+    k = int(key)
+    lat0 = (k % 7) * 9.0 - 27.0
+    lng0 = (k * 13 % 29) * 10.0 - 140.0
+    t = np.arange(16, dtype=np.float64)
+    lat = lat0 + 0.35 * t + 1.2 * np.sin(0.9 * t + k)
+    lng = lng0 + 0.8 * t + 0.9 * np.cos(0.7 * t + 2 * k)
+    return np.asarray([_s2.latlng_to_xyz(a, b) for a, b in zip(lat, lng)])
+
+
+def polyline_summary_rows(keys) -> list[tuple]:
+    """(key, n_in, n_out, length_e9, mid_lat_e7, mid_lng_e7, suffix_n)
+    per key — the single polyline computation shared by the Ray
+    pipeline (inside map_batches) and the gate oracle (driver-side
+    pin).  All outputs are integers so the DuckDB hash compare is
+    exact: lengths in nano-radians, the fraction-0.5 interpolated
+    point in 1e-7 degrees."""
+    from s2geometry_ray.kernels import polyline as pl
+    from s2geometry_ray.oracle import s2 as _s2
+
+    rows = []
+    for key in keys:
+        v = _route_for_key(key)
+        idx = pl.subsample_vertices(v, _POLYLINE_TOL)
+        mid = pl.interpolate(v, [0.5])[0]
+        lat, lng = _s2.xyz_to_latlng(float(mid[0]), float(mid[1]),
+                                     float(mid[2]))
+        suf = pl.suffix(v, 0.25)
+        rows.append((int(key), int(v.shape[0]), int(idx.shape[0]),
+                     int(round(pl.total_length(v) * 1e9)),
+                     int(round(lat * 1e7)), int(round(lng * 1e7)),
+                     int(suf.shape[0])))
+    return rows
+
+
+def polyline_ops_routes(sf_dir: str):
+    """S23 polyline surface as a pipeline: per nation key, simplify a
+    deterministic route (subsample_vertices), interpolate its midpoint
+    and take the fraction-0.25 suffix — computed inside map_batches;
+    value-checked against a driver-side recompute pin
+    (gate_oracles.polyline_ops_routes_sql).  The geometric contract
+    (tolerance bound, slerp-on-polyline, suffix length additivity)
+    lives in tests/test_polyline.py."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    k = np.sort(keys["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = polyline_summary_rows(batch["key"].to_pylist())
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        names = ["key", "n_in", "n_out", "length_e9", "mid_lat_e7",
+                 "mid_lng_e7", "suffix_n"]
+        return pa.table({nm: pa.array(c, type=pa.int64())
+                         for nm, c in zip(names, cols)})
+
+    return rd.from_arrow(pa.table({"key": pa.array(k)})).map_batches(
+        summarize, batch_format="pyarrow", batch_size=8)
