@@ -139,6 +139,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = epoch_shuffle(_docs(sf), "doc_id", seed=7)
         return out.select_columns(["doc_id", "shuf64"])
 
+    def stratified_sample_docs(sf):
+        """Deterministic per-stratum Bernoulli sample over documents
+        (keep 25% of 'en', all of 'zh', 50% elsewhere) — content-hash
+        deterministic, so the SQL twin recomputes the exact row set."""
+        import ray.data as rd
+
+        from s2geometry_ray.functions.shuffle import stratified_sample
+
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        return stratified_sample(ds, "lang", {"en": 0.25, "zh": 1.0}, 0.5,
+                                 key_col="doc_id", seed=11)
+
     def neardup_jaccard_docs(sf):
         """MinHash-LSH candidates verified by EXACT n-gram Jaccard ≥ 0.5,
         value-checked against a SQL twin that recomputes the SAME
@@ -346,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_neardup_embeddings": cosine_neardup_embeddings,
         "polygon_overlay_tiles": X.polygon_overlay_tiles,
         "polyline_ops_routes": X.polyline_ops_routes,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -433,6 +447,11 @@ WHERE rn <= 20
         "epoch_shuffle_docs": __import__(
             "s2geometry_ray.functions.shuffle",
             fromlist=["shuffle_sql"]).shuffle_sql("doc_id", seed=7),
+        "stratified_sample_docs": __import__(
+            "s2geometry_ray.functions.shuffle",
+            fromlist=["stratified_sample_sql"]).stratified_sample_sql(
+                "lang", {"en": 0.25, "zh": 1.0}, 0.5,
+                key_col="doc_id", seed=11),
         "cell_stats_events": X.cell_stats_events_sql(),
         "io_roundtrip_docs": X.IO_ROUNDTRIP_SQL,
         "cell_assign_events": __import__(

@@ -82,3 +82,62 @@ def shuffle_sql(key_col: str = "doc_id", seed: int = 0,
 SELECT CAST({key_col} AS BIGINT) AS {key_col}, {h} AS shuf64
 FROM {table}
 """
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _rate_threshold(rate: float) -> int:
+    """Inclusive keep-threshold for ``h <= thr``: a uniform u64 hash is
+    kept with probability ``rate``.  rate=1 keeps everything (threshold
+    2⁶⁴−1); rates must be in (0, 1] — a 0 rate would wrap to keep-all."""
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    return min(int(rate * 2.0**64), 1 << 64) - 1
+
+
+def stratified_sample(ds, stratum_col: str, rates: dict, default_rate: float,
+                      key_col: str = "doc_id", seed: int = 0):
+    """Deterministic per-stratum Bernoulli sample: a row is kept iff
+    splitmix64(key ⊕ mix(seed)) ≤ threshold(stratum) — the training-data
+    downsampling primitive (e.g. keep 25% of 'en', all of 'zh').
+    Content-hash deterministic: the same row set survives on any
+    cluster layout, any epoch resume, any partitioning — unlike
+    ``ds.random_sample``.  Pure per-batch filter, no shuffle."""
+    sm = np.uint64(_seed_mix(seed))
+    thr_map = {s: np.uint64(_rate_threshold(r)) for s, r in rates.items()}
+    thr_def = np.uint64(_rate_threshold(default_rate))
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(k ^ sm)
+        strat = np.asarray(t[stratum_col])
+        thr = np.full(len(k), thr_def, dtype=np.uint64)
+        for s, ti in thr_map.items():
+            thr[strat == s] = ti
+        return t.filter(pa.array(h <= thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_sql(stratum_col: str, rates: dict, default_rate: float,
+                          key_col: str = "doc_id", seed: int = 0,
+                          table: str = "documents",
+                          extra_cols: str = "") -> str:
+    """DuckDB twin of ``stratified_sample`` (bit-exact splitmix64 +
+    identical inclusive thresholds)."""
+    sm = _seed_mix(seed)
+    wrapped = (f"CAST(((CAST({key_col} AS HUGEINT) % 18446744073709551616)"
+               f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+    h = sql_splitmix64(f"xor({wrapped}, {sm})")
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({_rate_threshold(r)} AS UBIGINT)"
+        for s, r in rates.items())
+    thr = (f"CASE {stratum_col} {cases} "
+           f"ELSE CAST({_rate_threshold(default_rate)} AS UBIGINT) END")
+    return f"""
+SELECT CAST({key_col} AS BIGINT) AS {key_col}, {stratum_col}{extra_cols}
+FROM (SELECT {key_col}, {stratum_col}{extra_cols}, {h} AS h FROM {table})
+WHERE h <= {thr}
+"""

@@ -995,3 +995,35 @@ def test_epoch_shuffle_deterministic_permutation(ray_session):
     pos = np.empty(500, dtype=np.int64)
     pos[a1["doc_id"].to_numpy()] = np.arange(500)
     assert abs(np.corrcoef(np.arange(500), pos)[0, 1]) < 0.2
+
+
+def test_stratified_sample_deterministic_rates(ray_session):
+    """Per-stratum Bernoulli sample: deterministic across runs and
+    partitionings, per-stratum keep rates near their targets, rate 1.0
+    keeps every row of its stratum, invalid rates raise."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.shuffle import (_rate_threshold,
+                                                  stratified_sample)
+
+    n = 4000
+    langs = np.array(["en", "de", "zh"])[np.arange(n) % 3]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(langs)})
+    rates = {"en": 0.25, "zh": 1.0}
+    a = stratified_sample(rd.from_arrow(t), "lang", rates, 0.5,
+                          seed=3).to_pandas()
+    b = stratified_sample(rd.from_arrow(t).repartition(7), "lang", rates,
+                          0.5, seed=3).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    got = a.groupby("lang")["doc_id"].count()
+    per = n // 3
+    assert got["zh"] == per + (1 if n % 3 > 2 else 0) or got["zh"] == per
+    assert abs(got["en"] / per - 0.25) < 0.08
+    assert abs(got["de"] / per - 0.5) < 0.08
+    # all zh kept exactly
+    assert got["zh"] == int((langs == "zh").sum())
+    with pytest.raises(ValueError):
+        _rate_threshold(0.0)
+    with pytest.raises(ValueError):
+        _rate_threshold(1.5)
