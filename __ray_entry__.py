@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_overlay_tiles": X.polygon_overlay_tiles,
         "polyline_ops_routes": X.polyline_ops_routes,
         "stratified_sample_docs": stratified_sample_docs,
+        "image_thumbs_images": X.image_thumbs_images,
     }
 
 
@@ -397,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         # S23 polyline surface (interpolate / suffix / subsample):
         # driver-side recompute pin, same pattern as the overlay
         "polyline_ops_routes": G.polyline_ops_routes_sql(),
+        # still-image resize through the actor pool, driver recompute pin
+        "image_thumbs_images": G.image_thumbs_images_sql(),
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,

@@ -485,6 +485,31 @@ def polygon_overlay_tiles_sql() -> str:
             + vals + ") AS t(a, b, op, n_loops, n_holes, n_vertices)")
 
 
+def image_thumbs_images_sql(n: int = 400, thumb: int = 8) -> str:
+    """Expected (image_id, fmt, thumb_mean, thumb_r, thumb_g, thumb_b)
+    rows from a DRIVER-side decode+resize of the same deterministic
+    synthetic images — pins the actor-pool resize stage value-exactly
+    (the family's raster resize semantics: exact box average on
+    integer-divisible dims, nearest-neighbor otherwise)."""
+    from s2geometry_ray.kernels import codecs
+    from s2geometry_ray.sources.synth import gen_image_row
+    from s2geometry_ray.stages.decode import thumb_features
+
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        pixels = codecs.DECODERS[r["fmt"]](r["bytes"])
+        tm, tr, tg, tb = thumb_features(pixels, thumb)
+        vals.append(f"({_str_lit(r['image_id'])}, {_str_lit(r['fmt'])}, "
+                    f"{tm}, {tr}, {tg}, {tb})")
+    cols = "image_id, fmt, thumb_mean, thumb_r, thumb_g, thumb_b"
+    return ("SELECT image_id, fmt, CAST(thumb_mean AS BIGINT) AS thumb_mean, "
+            "CAST(thumb_r AS BIGINT) AS thumb_r, "
+            "CAST(thumb_g AS BIGINT) AS thumb_g, "
+            "CAST(thumb_b AS BIGINT) AS thumb_b FROM (VALUES "
+            + ", ".join(vals) + f") AS t({cols})")
+
+
 def polyline_ops_routes_sql() -> str:
     """Expected (key, n_in, n_out, length_e9, mid_lat_e7, mid_lng_e7,
     suffix_n) rows from a DRIVER-side run of the same polyline kernels

@@ -593,3 +593,14 @@ def polyline_ops_routes(sf_dir: str):
 
     return rd.from_arrow(pa.table({"key": pa.array(k)})).map_batches(
         summarize, batch_format="pyarrow", batch_size=8)
+
+
+def image_thumbs_images(_sf_dir: str, n: int = 400):
+    """Still-image RESIZE operator (multimodal decode → exact box-average
+    thumbnail → integer channel features) through the actor pool;
+    value-checked against a driver-side recompute of the same pixels
+    (gate_oracles.image_thumbs_images_sql)."""
+    from s2geometry_ray.sources.synth import images_dataset
+    from s2geometry_ray.stages.decode import image_thumb_stage
+
+    return image_thumb_stage(images_dataset(n), thumb=8, concurrency=2)

@@ -171,6 +171,57 @@ class VideoSampleActor:
         })
 
 
+def thumb_features(pixels: np.ndarray, thumb: int) -> tuple:
+    """(thumb_mean, mean_r, mean_g, mean_b) ints of the exact-box-average
+    resized thumbnail — shared by ImageThumbActor (workers) and the gate
+    oracle's driver-side recompute pin."""
+    from s2geometry_ray.kernels.av import resize_area
+
+    th = resize_area(pixels, thumb, thumb).astype(np.int64)
+    return (int(th.mean()), int(th[:, :, 0].mean()),
+            int(th[:, :, 1].mean()), int(th[:, :, 2].mean()))
+
+
+class ImageThumbActor:
+    """Actor-pool still-image RESIZE: decode → exact box-average
+    thumbnail (kernels/av.resize_area) → integer channel features.
+    Codec dispatch state lives in ``__init__`` (once per actor); the
+    full-resolution pixels never leave the worker — only the tiny
+    feature columns shuffle."""
+
+    def __init__(self, thumb: int = 8):
+        self.decoders = dict(codecs.DECODERS)
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(data)
+        tm = np.empty(n, dtype=np.int64)
+        tr = np.empty(n, dtype=np.int64)
+        tg = np.empty(n, dtype=np.int64)
+        tb = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            pixels = self.decoders[fmts[i]](data[i])
+            tm[i], tr[i], tg[i], tb[i] = thumb_features(pixels, self.thumb)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "fmt": batch["fmt"],
+            "thumb_mean": pa.array(tm, type=pa.int64()),
+            "thumb_r": pa.array(tr, type=pa.int64()),
+            "thumb_g": pa.array(tg, type=pa.int64()),
+            "thumb_b": pa.array(tb, type=pa.int64()),
+        })
+
+
+def image_thumb_stage(ds, thumb: int = 8, concurrency: int = 4,
+                      batch_size: int = 128):
+    return ds.map_batches(ImageThumbActor,
+                          fn_constructor_kwargs=dict(thumb=thumb),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
 def audio_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(AudioFeatureActor, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,

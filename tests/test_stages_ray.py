@@ -1027,3 +1027,32 @@ def test_stratified_sample_deterministic_rates(ray_session):
         _rate_threshold(0.0)
     with pytest.raises(ValueError):
         _rate_threshold(1.5)
+
+
+def test_image_thumb_stage_matches_driver(ray_session):
+    """Actor-pool still-image resize == driver-side decode+resize for
+    every row, and the thumbnail is the exact box average when the
+    dimensions divide evenly."""
+    from s2geometry_ray.kernels import codecs
+    from s2geometry_ray.kernels.av import resize_area
+    from s2geometry_ray.sources.synth import gen_image_row, images_dataset
+    from s2geometry_ray.stages.decode import image_thumb_stage, thumb_features
+
+    n = 48
+    out = image_thumb_stage(images_dataset(n), thumb=8,
+                            concurrency=2).to_pandas()
+    out = out.set_index("image_id").sort_index()
+    assert len(out) == n
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        px = codecs.DECODERS[r["fmt"]](r["bytes"])
+        tm, tr, tg, tb = thumb_features(px, 8)
+        row = out.loc[r["image_id"]]
+        assert (row["thumb_mean"], row["thumb_r"], row["thumb_g"],
+                row["thumb_b"]) == (tm, tr, tg, tb)
+        if px.shape[0] % 8 == 0 and px.shape[1] % 8 == 0:
+            fh, fw = px.shape[0] // 8, px.shape[1] // 8
+            want = (px.astype(np.uint32)
+                    .reshape(8, fh, 8, fw, 3).sum(axis=(1, 3))
+                    // (fh * fw)).astype(np.uint8)
+            assert np.array_equal(resize_area(px, 8, 8), want)
