@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["key_a", "key_b"])
 
     from s2geometry_ray.pipelines import extras as X
+    from s2geometry_ray.pipelines import relational as REL
 
     return {
         "distinct_event_types": X.distinct_event_types,
@@ -361,6 +362,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_ops_routes": X.polyline_ops_routes,
         "stratified_sample_docs": stratified_sample_docs,
         "image_thumbs_images": X.image_thumbs_images,
+        "asof_join_events_orders": REL.asof_join_events_orders,
+        "range_join_events_parts": REL.range_join_events_parts,
+        "rolling_user_value": REL.rolling_user_value,
+        "topn_orders_per_segment": REL.topn_orders_per_segment,
+        "quantiles_events": REL.quantiles_events,
+        "io_roundtrip_jsonl": REL.io_roundtrip_jsonl,
     }
 
 
@@ -370,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
 
     from s2geometry_ray.functions import gate_oracles as G
     from s2geometry_ray.pipelines import extras as X
+    from s2geometry_ray.pipelines import relational as REL
 
     return {
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
@@ -400,6 +408,14 @@ def oracle_sql() -> dict[str, str]:
         "polyline_ops_routes": G.polyline_ops_routes_sql(),
         # still-image resize through the actor pool, driver recompute pin
         "image_thumbs_images": G.image_thumbs_images_sql(),
+        # relational operators Ray Data lacks (as-of / range join, ordered
+        # windows, grouped top-N, distributed exact quantiles, JSONL IO)
+        "asof_join_events_orders": REL.ASOF_JOIN_SQL,
+        "range_join_events_parts": REL.RANGE_JOIN_SQL,
+        "rolling_user_value": REL.ROLLING_SQL,
+        "topn_orders_per_segment": REL.TOPN_SEGMENT_SQL,
+        "quantiles_events": REL.QUANTILES_SQL,
+        "io_roundtrip_jsonl": REL.IO_JSONL_SQL,
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,

@@ -41,7 +41,13 @@ def test_entry_smoke(ray_session):
                                   # round-4 generated-oracle conversions
                                   "simhash_docs", "simhash_pairs_docs",
                                   "decode_images", "covering_mixed_tiles",
-                                  "phash_band_buckets", "audio_features_av"])
+                                  "phash_band_buckets", "audio_features_av",
+                                  # round-4 relational operators
+                                  "asof_join_events_orders",
+                                  "range_join_events_parts",
+                                  "rolling_user_value",
+                                  "topn_orders_per_segment",
+                                  "quantiles_events", "io_roundtrip_jsonl"])
 def test_gate_queries_vs_duckdb(ray_session, name):
     con = duckdb.connect()
     for t in TABLES:

@@ -1,0 +1,183 @@
+"""Edge-case tests for the relational operators (pipelines/relational):
+as-of merge semantics (ties, unmatched keys, pre-first-order events),
+range-join bucketing, window kernels, and quantile selection on
+pathological distributions — each vs DuckDB on crafted tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from s2geometry_ray.pipelines import relational as R  # noqa: E402
+
+
+def _write_events_orders(tmp, events: pd.DataFrame, orders: pd.DataFrame):
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                   os.path.join(tmp, "events.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   os.path.join(tmp, "orders.parquet"))
+
+
+def test_asof_merge_ties_and_unmatched(ray_session):
+    """Crafted as-of cases: (a) order-date ties break to max o_orderkey,
+    (b) an event before its user's first order is dropped (inner), (c) a
+    user with no orders is dropped, (d) an order AT the event timestamp
+    matches (<=).  Checked against DuckDB's ROW_NUMBER twin."""
+    rng = np.random.default_rng(7)
+    n_ev, n_od = 400, 120
+    events = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n_ev),  # users 10,11 have no orders
+        "ts": pd.to_datetime(rng.integers(0, 1_000, n_ev), unit="s"),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_od, dtype=np.int64),
+        "o_custkey": rng.integers(0, 10, n_od),
+        # coarse seconds force date ties within a customer
+        "o_orderdate": pd.to_datetime(rng.integers(0, 40, n_od) * 25, unit="s"),
+        "o_totalprice": rng.uniform(1, 100, n_od).round(2),
+    })
+    # (d): pin one exact-timestamp match
+    events.loc[0, ["user_id", "ts"]] = [0, pd.Timestamp(0)]
+    orders.loc[0, ["o_custkey", "o_orderdate"]] = [0, pd.Timestamp(0)]
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        _write_events_orders(tmp, events, orders)
+        got = R.asof_join_events_orders(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        con.sql(f"CREATE VIEW orders AS SELECT * FROM '{tmp}/orders.parquet'")
+        want = con.sql(R.ASOF_JOIN_SQL).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert 0 in a["event_id"].values          # the exact-ts match survived
+    assert len(a) < n_ev                       # some events had no match
+
+
+def test_asof_merge_empty_sides():
+    empty = pd.DataFrame({"side": pd.Series([], dtype=np.int8),
+                          "key": pd.Series([], dtype=np.int64),
+                          "t": pd.Series([], dtype=np.int64),
+                          "pid": pd.Series([], dtype=np.int64),
+                          "okey": pd.Series([], dtype=np.int64),
+                          "price": pd.Series([], dtype=np.float64)})
+    only_ev = pd.DataFrame({"side": [0], "key": [1], "t": [5], "pid": [9],
+                            "okey": [0], "price": [0.0]})
+    assert len(R._asof_merge(empty)) == 0
+    assert len(R._asof_merge(only_ev)) == 0
+    out = R._asof_merge(pd.concat([only_ev,
+                                   pd.DataFrame({"side": [1], "key": [1],
+                                                 "t": [3], "pid": [0],
+                                                 "okey": [7],
+                                                 "price": [1.5]})]))
+    assert out.to_dict("records") == [{"event_id": 9, "user_id": 1,
+                                       "o_orderkey": 7, "o_totalprice": 1.5}]
+
+
+def test_ranges_within():
+    reps = np.array([3, 1, 2], dtype=np.int64)
+    assert R._ranges_within(reps).tolist() == [0, 1, 2, 0, 0, 1]
+    assert R._ranges_within(np.zeros(0, np.int64)).size == 0
+
+
+def test_quantiles_pathological(ray_session):
+    """Near-constant and single-row groups: the histogram width clamps
+    to 1 and the gather degenerates to (at most) the group — selection
+    stays exact vs DuckDB's quantile_disc."""
+    values = np.concatenate([
+        np.full(500, 42.00),              # constant group
+        np.array([7.77]),                 # n = 1 group
+        np.round(np.linspace(0.01, 499.99, 997), 2),  # smooth group
+        np.array([1e-2, 1e6]),            # extreme range, n = 2
+    ])
+    types = np.array(["const"] * 500 + ["single"] + ["smooth"] * 997
+                     + ["wide"] * 2)
+    df = pd.DataFrame({"event_type": types, "value": values})
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        got = R.quantiles_events(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        want = con.sql(R.QUANTILES_SQL).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) == 4 * 3
+
+
+def test_rolling_windows_vs_pandas(ray_session):
+    """Rolling kernel vs an independent pandas rolling implementation on
+    crafted data with duplicate timestamps (event_id tiebreak)."""
+    rng = np.random.default_rng(3)
+    n = 1000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),  # many ties
+        "value": rng.uniform(0, 10, n).round(2),
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        got = (R.rolling_user_value(tmp).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+    ref = df.copy()
+    ref["cents"] = np.round(ref["value"] * 100).astype(np.int64)
+    ref = ref.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = ref.groupby("user_id")["cents"]
+    ref["rn"] = g.cumcount() + 1
+    ref["lag_cents"] = g.shift(1).fillna(-1).astype(np.int64)
+    ref["roll3_cents"] = (g.rolling(3, min_periods=1).sum()
+                          .reset_index(level=0, drop=True).astype(np.int64))
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    for c in ["rn", "lag_cents", "roll3_cents"]:
+        assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_range_join_point_on_boundary(ray_session):
+    """Points exactly AT lo and hi are included (BETWEEN is inclusive),
+    and a point matching an interval whose bucket span crosses the
+    point's bucket is found exactly once."""
+    w = R._RJ_BUCKET_W
+    part = pd.DataFrame({"p_partkey": [1], "p_size": [1],
+                         "p_retailprice": [900.0]})     # lo=9, hi=18 (2 buckets)
+    events = pd.DataFrame({"event_id": np.arange(6, dtype=np.int64),
+                           "value": [9.0, 18.0, 8.99, 18.01, 15.5, 17.0]})
+    assert 9.0 < w < 18.0                               # interval straddles
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(tmp, "part.parquet"))
+        got = R.range_join_events_parts(tmp).to_pandas()
+    assert got.to_dict("records") == [
+        {"p_partkey": 1, "n": 4,
+         "sum_cents": int(round((9.0 + 18.0 + 15.5 + 17.0) * 100))}]
+
+
+def test_range_join_rejects_wide_interval():
+    part = pd.DataFrame({"p_partkey": [1], "p_size": [1],
+                         "p_retailprice": [90000.0]})
+    events = pd.DataFrame({"event_id": [0], "value": [1.0]})
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(tmp, "part.parquet"))
+        with pytest.raises(ValueError, match="wider than"):
+            R.range_join_events_parts(tmp)
