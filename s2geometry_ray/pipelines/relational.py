@@ -243,17 +243,32 @@ GROUP BY p_partkey
 """
 
 # ---------------------------------------------------------------------------
-# Ordered per-key window functions: row_number, lag, rolling 3-row sum.
-# Integer cents end-to-end so the rolling sum is order-independent-exact.
+# Ordered per-key window functions: row_number, lag, rolling 3-row sum,
+# and a trailing time-RANGE window (sum/count over the last 60 s).
+# Integer cents end-to-end so every sum is order-independent-exact.
 # ---------------------------------------------------------------------------
+
+_RANGE_WIN_US = 60_000_000  # trailing RANGE window width (60 s)
+
+
+def _pack2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a, b) uint64 pairs → V16 big-endian keys whose memcmp order IS
+    the lexicographic order — makes a two-key searchsorted a single
+    np.searchsorted over void16 (verified in tests vs brute force)."""
+    out = np.empty((len(a), 2), dtype=">u8")
+    out[:, 0] = a
+    out[:, 1] = b
+    return out.reshape(-1).view([("k", "V16")])["k"]
 
 
 def rolling_user_value(sf_dir: str):
     """Windowed aggregate over (user_id ORDER BY ts, event_id): row
-    number, previous value (lag, -1 when none), and the 3-row rolling
-    sum — all in one vectorized pass per hash partition (prefix sums
-    with per-user window clamping; no per-row Python, no per-user
-    map_groups calls).
+    number, previous value (lag, -1 when none), the 3-row rolling sum,
+    and the trailing 60-second RANGE window (count + sum, including ALL
+    timestamp peers — SQL RANGE ... CURRENT ROW semantics) — one
+    vectorized pass per hash partition (prefix sums with per-user window
+    clamping; RANGE bounds via a two-key packed searchsorted; no per-row
+    Python, no per-user map_groups calls).
 
     Partitioning assumption: a user's rows co-locate (shuffle key
     user_id % P with P ∝ rows); each partition sorts once with lexsort.
@@ -274,7 +289,7 @@ def rolling_user_value(sf_dir: str):
         eid = g["event_id"].to_numpy(np.int64)
         cents = np.round(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
         order = np.lexsort((eid, t, uid))
-        uid, eid, cents = uid[order], eid[order], cents[order]
+        uid, eid, cents, t = uid[order], eid[order], cents[order], t[order]
         n = len(uid)
         new_run = np.ones(n, dtype=bool)
         new_run[1:] = uid[1:] != uid[:-1]
@@ -286,9 +301,23 @@ def rolling_user_value(sf_dir: str):
         s = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cents, out=s[1:])
         w = np.minimum(rn, 3)
-        roll3 = s[np.arange(1, n + 1)] - s[np.arange(1, n + 1) - w]
+        ar1 = np.arange(1, n + 1)
+        roll3 = s[ar1] - s[ar1 - w]
+        # trailing time-RANGE window [t−60s, t] per user, peers included:
+        # rows are (uid, t)-sorted, so both bounds are two-key
+        # searchsorteds over packed (uid, t−tmin) big-endian keys
+        tb = (t - t.min()).astype(np.uint64)
+        ub = uid.astype(np.uint64)
+        keys = _pack2(ub, tb)
+        win = np.uint64(_RANGE_WIN_US)
+        lo = np.searchsorted(keys, _pack2(ub, np.maximum(tb, win) - win),
+                             side="left")
+        hi = np.searchsorted(keys, _pack2(ub, tb), side="right")
+        win_n = (hi - lo).astype(np.int64)
+        win60 = s[hi] - s[lo]
         return pd.DataFrame({"event_id": eid, "user_id": uid, "rn": rn,
-                             "lag_cents": lag, "roll3_cents": roll3})
+                             "lag_cents": lag, "roll3_cents": roll3,
+                             "win60_n": win_n, "win60_cents": win60})
 
     return ds.map_batches(add_part, batch_format="pyarrow",
                           batch_size=None) \
@@ -302,8 +331,13 @@ SELECT event_id, user_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
        CAST(COALESCE(LAG(cents) OVER w, -1) AS BIGINT) AS lag_cents,
        CAST(SUM(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS roll3_cents
-FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS roll3_cents,
+       CAST(COUNT(*) OVER r AS BIGINT) AS win60_n,
+       CAST(SUM(cents) OVER r AS BIGINT) AS win60_cents
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+            r AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING
+                        AND CURRENT ROW)
 """
 
 # ---------------------------------------------------------------------------

@@ -128,7 +128,9 @@ def test_rolling_windows_vs_pandas(ray_session):
     df = pd.DataFrame({
         "event_id": np.arange(n, dtype=np.int64),
         "user_id": rng.integers(0, 7, n),
-        "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),  # many ties
+        # 500 distinct seconds over 1000 rows: plenty of timestamp ties,
+        # and a span ≫ the 60 s RANGE window so its lower bound matters
+        "ts": pd.to_datetime(rng.integers(0, 500, n), unit="s"),
         "value": rng.uniform(0, 10, n).round(2),
     })
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
@@ -147,6 +149,18 @@ def test_rolling_windows_vs_pandas(ray_session):
     ref = ref.sort_values("event_id").reset_index(drop=True)
     for c in ["rn", "lag_cents", "roll3_cents"]:
         assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+    # the RANGE window (peers on BOTH sides of the current row count)
+    # has no pandas equivalent — pin it against DuckDB on the same
+    # tie-heavy frame
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        want = (con.sql(R.ROLLING_SQL).df()
+                .sort_values("event_id").reset_index(drop=True))
+    for c in ["win60_n", "win60_cents"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
 def test_range_join_point_on_boundary(ray_session):
