@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = cosine_neardup_pairs(ds, tau=0.9, n_rows_hint=n + (n + 9) // 10)
         return out.select_columns(["key_a", "key_b"])
 
+    from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import relational as REL
 
@@ -368,6 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topn_orders_per_segment": REL.topn_orders_per_segment,
         "quantiles_events": REL.quantiles_events,
         "io_roundtrip_jsonl": REL.io_roundtrip_jsonl,
+        "distance_join_sites_events": AN.distance_join_sites_events,
+        "hll_sketch_events": AN.hll_sketch_events,
+        "tfidf_top_terms_docs": AN.tfidf_top_terms,
+        "regex_scan_docs": AN.regex_scan_docs,
+        "pivot_user_event_counts": AN.pivot_user_event_counts,
     }
 
 
@@ -376,10 +382,18 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_ray.pipelines import tpch as T
 
     from s2geometry_ray.functions import gate_oracles as G
+    from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import relational as REL
 
     return {
+        # analytics family (round 4): within-radius cap join, HLL
+        # sketch, TF-IDF top terms, RE2 scan, pivot — all value-exact
+        "distance_join_sites_events": AN.distance_join_sql(),
+        "hll_sketch_events": AN.hll_sketch_sql(),
+        "tfidf_top_terms_docs": AN.TFIDF_SQL,
+        "regex_scan_docs": AN.REGEX_SCAN_SQL,
+        "pivot_user_event_counts": AN.PIVOT_SQL,
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

@@ -1,0 +1,455 @@
+"""Web-scale analytics operators with value-exact DuckDB twins:
+
+- ``distance_join_sites_events`` — within-radius (cap-region) spatial
+  join: the range-search counterpart of kNN, run through the same
+  covering-broadcast machinery as the rect joins;
+- ``hll_sketch_events`` — distributed HyperLogLog distinct-count SKETCH
+  (per-group register maxima) as mergeable map-side partials; the
+  sketch rows are integer-exact, so the gate is hash-exact even though
+  the estimate is approximate (``hll_estimate`` turns a sketch into the
+  cardinality estimate — accuracy pinned in pytest);
+- ``tfidf_top_terms`` — per-document top-N terms by tf·idf (linear idf
+  = N/df): tokenize → in-batch tf → ONE term-partitioned shuffle that
+  yields df as the term-group size (no separate df table, no join) →
+  ONE doc-partitioned shuffle for the grouped top-N;
+- ``regex_scan_docs`` — vectorized RE2 pattern counting (PII-shaped
+  scan) via ``pyarrow.compute.count_substring_regex``; DuckDB's regex
+  engine is also RE2, so ``len(regexp_extract_all(...))`` is an exact
+  twin;
+- ``pivot_user_event_counts`` — pivot (long → wide conditional counts)
+  as map-side 2-D bincount partials + a hash-partitioned combine.
+
+Every stage is an Arrow/numpy ``map_batches`` kernel; shuffles move
+keys + small payloads only; partition counts derive from input size
+(scale.derive_num_parts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from s2geometry_ray.scale import derive_num_parts
+
+# ---------------------------------------------------------------------------
+# Within-radius distance join (cap-region spatial join).
+# Sites are FIXED query parameters (ids 0..N-1, geotagged by the same
+# derive_lat/lng mixing as every gate point set), not rows of a table —
+# so the SQL twin inlines their xyz centers as literals and stays valid
+# at every scale factor.
+# ---------------------------------------------------------------------------
+
+_N_SITES = 12
+
+
+def _site_caps():
+    """The fixed site caps: center from derive_lat/lng(site_id), radius
+    0.12 + 0.03·(id mod 5) rad (~7–14°).  Shared by the pipeline and
+    the SQL builder so both sides use the IDENTICAL doubles."""
+    from s2geometry_ray.kernels.regions import CapRegion
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    ids = np.arange(_N_SITES, dtype=np.int64)
+    lats = derive_lat(ids)
+    lngs = derive_lng(ids)
+    caps = []
+    for i in range(_N_SITES):
+        r = 0.12 + 0.03 * (i % 5)
+        caps.append((i, CapRegion.from_latlng_radius(
+            float(lats[i]), float(lngs[i]), r)))
+    return caps
+
+
+def distance_join_sites_events(sf_dir: str):
+    """All events within each site's radius — (site_id, event_id) pairs.
+
+    Plan: cover each cap once (driver — 12 regions), broadcast the
+    CoveringIndex via ``ray.put``, stream event batches through the
+    covering probe, and verify candidates with the exact chord-distance
+    test.  ``interior`` fast-accepts are DISABLED for this gate: the
+    interior flag comes from float cell predicates that are
+    conservative in exact arithmetic but could (within an ulp) disagree
+    with the SQL twin's chord test on a boundary-grazing point — forcing
+    every candidate through the chord predicate makes engine and twin
+    evaluate the IDENTICAL IEEE expression on identical inputs.  The
+    interior fast path itself is exercised by the rect-join gates and
+    the covering pytest oracle.
+
+    100-TB posture: identical to the rect broadcast join — zero shuffle
+    of the point table, covering table broadcast once, probe + verify
+    vectorized per batch.
+    """
+    import ray
+
+    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.stages.spatial_join import (
+        CoveringIndex,
+        make_spatial_join_fn,
+    )
+
+    index = CoveringIndex.build(_site_caps(), max_cells=32, max_level=10)
+    index.interior = np.zeros_like(index.interior)  # exact verify for ALL
+    index_ref = ray.put(index)
+    pts = _points_ds(sf_dir)
+    out = pts.map_batches(
+        make_spatial_join_fn(index_ref, ["event_id"]),
+        batch_format="pyarrow", batch_size=None)
+    return out.map_batches(
+        lambda t: pa.table({
+            "site_id": pc.cast(t["tile_id"], pa.int64()),
+            "event_id": t["event_id"]}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def distance_join_sql() -> str:
+    """Twin: cross join of the inlined site constants (repr round-trips
+    every double exactly) against events, filtered by the same chord²
+    predicate CapRegion.contains_points evaluates."""
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    rows = []
+    for sid, cap in _site_caps():
+        cx, cy, cz = cap.center
+        thr = 2.0 * cap.height
+        rows.append(f"({sid}, {cx!r}, {cy!r}, {cz!r}, {thr!r})")
+    values = ",\n         ".join(rows)
+    lat = derive_lat_sql("event_id")
+    lng = derive_lng_sql("event_id")
+    return f"""
+WITH sites AS (
+  SELECT * FROM (VALUES {values})
+    AS v(site_id, cx, cy, cz, thr)),
+p AS (
+  SELECT event_id,
+         cos(radians({lat})) * cos(radians({lng})) AS px,
+         cos(radians({lat})) * sin(radians({lng})) AS py,
+         sin(radians({lat})) AS pz
+  FROM events)
+SELECT CAST(site_id AS BIGINT) AS site_id,
+       CAST(event_id AS BIGINT) AS event_id
+FROM sites, p
+WHERE (px - cx) * (px - cx) + (py - cy) * (py - cy)
+      + (pz - cz) * (pz - cz) <= thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (p = 10, m = 1024 registers).
+# The SKETCH (per-group register maxima) is the gate output: integer
+# rows, bit-exact, mergeable by max — the distributed-sketch contract.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_SEED = 5
+
+# leading zeros within one byte (index = byte value)
+_CLZ8 = np.array(
+    [8] + [7] + [6] * 2 + [5] * 4 + [4] * 8 + [3] * 16 + [2] * 32
+    + [1] * 64 + [0] * 128, dtype=np.int64)
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros of uint64 (exact — no float log)."""
+    b = np.ascontiguousarray(w, dtype=np.uint64).view(np.uint8)
+    b = b.reshape(-1, 8)[:, ::-1]  # most-significant byte first (LE host)
+    nz = b != 0
+    first = np.argmax(nz, axis=1)
+    got = _CLZ8[b[np.arange(len(w)), first]] + 8 * first
+    return np.where(nz.any(axis=1), got, 64)
+
+
+def _hll_rows(uid: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) per value: splitmix64 hash → top-p-bit bucket →
+    rank = clz(h << p) + 1 (the remaining 64−p bits; all-zero ⇒ 64−p+1)."""
+    from s2geometry_ray.functions.shuffle import _seed_mix
+    from s2geometry_ray.functions.text import _splitmix64
+
+    h = _splitmix64(uid.astype(np.int64).view(np.uint64)
+                    ^ np.uint64(_seed_mix(seed)))
+    bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = h << np.uint64(_HLL_P)
+    rho = np.where(w == 0, 64 - _HLL_P + 1, _clz64(w) + 1)
+    return bucket, rho
+
+
+def hll_sketch_events(sf_dir: str):
+    """Per-event_type HLL sketch of distinct user_ids: map-side partial
+    register maxima per batch (≤ groups × m tiny rows), combined by MAX —
+    the canonical mergeable-sketch reduction.  Only (group, bucket,
+    max_rho) partials ever shuffle; the user column never does.
+
+    Scale contract: output is groups × m rows regardless of input size
+    (bounded-cardinality — the combine_partials contract)."""
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"])
+        bucket, rho = _hll_rows(uid, _HLL_SEED)
+        df = pd.DataFrame({"event_type": et, "bucket": bucket, "rho": rho})
+        g = df.groupby(["event_type", "bucket"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(
+            g.rename(columns={"rho": "max_rho"}), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return combine_partials(partials, ["event_type", "bucket"],
+                            {"max_rho": "max"})
+
+
+def hll_estimate(sketch: pd.DataFrame, p: int = _HLL_P) -> dict[str, float]:
+    """Group → cardinality estimate from sketch rows (standard HLL with
+    the linear-counting small-range correction).  Driver-side: a sketch
+    is ≤ groups × m rows by construction."""
+    m = 1 << p
+    out = {}
+    for g, grp in sketch.groupby("event_type"):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[grp["bucket"].to_numpy(np.int64)] = grp["max_rho"].to_numpy(np.int64)
+        z = np.sum(np.ldexp(1.0, -regs))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / z
+        v = int(np.sum(regs == 0))
+        if e <= 2.5 * m and v > 0:
+            e = m * np.log(m / v)
+        out[g] = float(e)
+    return out
+
+
+def _sql_wrap_u64(expr: str) -> str:
+    """numpy-style wrapping cast of a signed BIGINT to UBIGINT."""
+    return (f"CAST(((CAST({expr} AS HUGEINT) % 18446744073709551616)"
+            f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+
+
+def hll_sketch_sql() -> str:
+    """Twin: recompute the full hash → bucket → rank chain in DuckDB.
+    clz is pure-integer: bit-length = Σ_k [w ≥ 2^k] over exact UBIGINT
+    comparisons, so rank = 65 − p − ... never touches a float."""
+    from s2geometry_ray.functions.shuffle import _seed_mix, sql_splitmix64
+
+    sm = _seed_mix(_HLL_SEED)
+    h = sql_splitmix64(f"xor({_sql_wrap_u64('user_id')}, {sm})")
+    shift = 1 << (64 - _HLL_P)
+    bitlen = " + ".join(
+        f"(CASE WHEN hw >= {1 << k} THEN 1 ELSE 0 END)" for k in range(64))
+    return f"""
+WITH h AS (SELECT event_type, {h} AS h FROM events),
+w AS (SELECT event_type,
+             CAST(h // {shift} AS BIGINT) AS bucket,
+             CAST((CAST(h AS HUGEINT) * {_HLL_M})
+                  % 18446744073709551616 AS HUGEINT) AS hw
+      FROM h),
+r AS (SELECT event_type, bucket,
+             CASE WHEN hw = 0 THEN {64 - _HLL_P + 1}
+                  ELSE 65 - ({bitlen}) END AS rho
+      FROM w)
+SELECT event_type, bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (linear idf = N/df — monotone, and exact
+# in IEEE doubles on both engines: one int→double cast + one division).
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+
+def tfidf_top_terms(sf_dir: str, topn: int = _TFIDF_TOPN):
+    """Per-doc top-N terms by tf · (N/df), tie-broken by term asc.
+
+    Stages (two shuffles, both key-only):
+    1. tokenize + tf: Arrow regex split over the utf8 buffer, parent-
+       index flatten, in-batch (doc, term) counts — a doc's rows never
+       leave its batch, so tf is complete map-side;
+    2. df WITHOUT a join: tf rows hash-partition by term fingerprint;
+       within a term-partition df(term) = row count of the term's group
+       (each (doc, term) appears exactly once) — one groupby replaces
+       the aggregate + re-join shuffle pair;
+    3. grouped top-N: re-partition by doc_id, one lexsort per partition
+       (score desc, term asc), run-length rank, keep rn ≤ N.
+
+    Partitioning assumptions: a term's rows co-locate in stage 2 (hash
+    of the term fingerprint — the vocabulary's heavy hitters are the
+    skew risk and bound a partition at df_max rows); a doc's rows
+    co-locate in stage 3 (≤ distinct terms per doc each).
+    """
+    from s2geometry_ray.functions.text import fingerprint_batch
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    p_term = derive_num_parts(n_docs, rows_per_part=20_000)
+    p_doc = derive_num_parts(n_docs, rows_per_part=50_000)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        col = pc.cast(t["text"], pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sp = pc.split_pattern_regex(col, "[^A-Za-z]+")
+        parent = pc.list_parent_indices(sp).to_numpy(zero_copy_only=False)
+        words = np.asarray(pc.list_flatten(sp))
+        keep = words != ""
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)[parent[keep]]
+        tf = (pd.DataFrame({"doc_id": doc, "term": words[keep]})
+              .groupby(["doc_id", "term"], as_index=False).size()
+              .rename(columns={"size": "tf"}))
+        fp = fingerprint_batch(
+            pa.table({"term": pa.array(tf["term"], type=pa.string())}),
+            "term")["fp64"].to_numpy(zero_copy_only=False)
+        tf["part"] = fp.view(np.uint64) % np.uint64(p_term)
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    def with_df(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_term = g.groupby("term")["doc_id"].size()
+        out = g[["doc_id", "term", "tf"]].copy()
+        out["df"] = g["term"].map(df_per_term).to_numpy(np.int64)
+        out["part2"] = out["doc_id"].to_numpy(np.int64) % p_doc
+        return out
+
+    def top_group(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy(np.int64)
+        term = g["term"].to_numpy(object)
+        tf = g["tf"].to_numpy(np.int64)
+        dfv = g["df"].to_numpy(np.int64)
+        score = (tf * n_docs).astype(np.float64) / dfv
+        order = np.lexsort((term, -score, doc))
+        doc, term, tf, dfv = doc[order], term[order], tf[order], dfv[order]
+        n = len(doc)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = doc[1:] != doc[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        rn = np.arange(n, dtype=np.int64) - run_start + 1
+        m = rn <= topn
+        return pd.DataFrame({"doc_id": doc[m], "rn": rn[m],
+                             "term": term[m], "tf": tf[m], "df": dfv[m]})
+
+    stage2 = (ds.map_batches(tf_batch, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("part").map_groups(with_df, batch_format="pandas"))
+    return stage2.groupby("part2").map_groups(top_group,
+                                              batch_format="pandas")
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term), n)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn,
+       term, tf, df
+FROM s WHERE rn <= {_TFIDF_TOPN}
+"""
+
+# ---------------------------------------------------------------------------
+# Vectorized regex scan (PII-shaped).  Both engines run RE2, so
+# non-overlapping match counts agree exactly.
+# ---------------------------------------------------------------------------
+
+_SCAN_PATTERNS = {
+    # PII-shaped (expected 0 on the synthetic corpus — the negative result
+    # is part of the check)
+    "n_email": r"[A-Za-z0-9_.]+@[A-Za-z0-9_.-]+",
+    "n_url": r"https?://[A-Za-z0-9./_-]+",
+    # discriminating patterns with real hits in the word corpus
+    "n_digits": r"[0-9]+",
+    "n_ta_words": r"ta[a-z]+",
+    "n_sc": r"sc[a-z]*n",
+}
+
+
+def regex_scan_docs(sf_dir: str):
+    """Per-doc counts of each scan pattern — one
+    ``count_substring_regex`` kernel per pattern per batch, zero Python
+    per row, no shuffle (embarrassingly parallel batch map)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        cols = {"doc_id": t["doc_id"]}
+        for name, pat in _SCAN_PATTERNS.items():
+            cols[name] = pc.cast(pc.count_substring_regex(text, pat),
+                                 pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+REGEX_SCAN_SQL = "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n" + ",\n".join(
+    f"       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    f" AS {name}" for name, pat in _SCAN_PATTERNS.items()
+) + "\nFROM documents"
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide): per-user counts of each event type.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_user_event_counts(sf_dir: str):
+    """Pivot events long → wide: one row per user, one count column per
+    event type.  Map-side 2-D bincount partial per batch (≤ distinct
+    users × types rows), then a hash-partitioned sum — the wide columns
+    shuffle pre-aggregated, never the event rows.
+
+    Partitioning assumption: the COLUMN dimension (event types) is an
+    enum; the ROW dimension (users) is unbounded and hash-partitions.
+    An unknown event type fails loudly (a silent 'other' bucket would
+    diverge from the SQL twin)."""
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_parts = derive_num_parts(n_rows, rows_per_part=200_000)
+    types = np.array(_EVENT_TYPES)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"])
+        code = np.searchsorted(types, et)
+        if not (types[np.clip(code, 0, len(types) - 1)] == et).all():
+            bad = sorted(set(et) - set(_EVENT_TYPES))
+            raise ValueError(f"unknown event_type values: {bad}")
+        uu, uinv = np.unique(uid, return_inverse=True)
+        cnt = np.bincount(uinv * len(types) + code,
+                          minlength=len(uu) * len(types))
+        cnt = cnt.reshape(len(uu), len(types)).astype(np.int64)
+        cols: dict = {"user_id": pa.array(uu),
+                      "part": pa.array(uu % num_parts)}
+        for j, ty in enumerate(_EVENT_TYPES):
+            cols[f"n_{ty}"] = pa.array(cnt[:, j])
+        return pa.table(cols)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[
+            [f"n_{ty}" for ty in _EVENT_TYPES]].sum()
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("part").map_groups(final, batch_format="pandas"))
+
+
+PIVOT_SQL = "SELECT CAST(user_id AS BIGINT) AS user_id,\n" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS n_{ty}" for ty in _EVENT_TYPES
+) + "\nFROM events GROUP BY user_id"

@@ -1,0 +1,223 @@
+"""Tests for the analytics operator family (pipelines/analytics):
+HLL sketch exactness/mergeability/accuracy, cap-region distance join vs
+brute force, TF-IDF tie semantics vs DuckDB, RE2 scan parity on strings
+with real PII shapes, pivot loud-failure contract.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from s2geometry_ray.pipelines import analytics as A  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _cmp_sql(got: pd.DataFrame, con, sql: str):
+    want = con.sql(sql).df()
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_clz64_exact():
+    """Vectorized clz == python int.bit_length on edges + random u64."""
+    rng = np.random.default_rng(3)
+    w = np.concatenate([
+        np.array([0, 1, 2, 3, (1 << 63), (1 << 64) - 1, 1 << 32],
+                 dtype=np.uint64),
+        rng.integers(0, 1 << 63, 10_000).astype(np.uint64),
+    ])
+    got = A._clz64(w)
+    want = np.array([64 - int(x).bit_length() for x in w], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hll_sketch_merge_associative():
+    """max-merge of two half sketches == sketch of the whole — the
+    mergeable-sketch contract that makes the map-side partials exact."""
+    rng = np.random.default_rng(11)
+    uid = rng.integers(0, 50_000, 100_000).astype(np.int64)
+    b, r = A._hll_rows(uid, A._HLL_SEED)
+
+    def regs(bk, rh):
+        m = np.zeros(A._HLL_M, dtype=np.int64)
+        np.maximum.at(m, bk, rh)
+        return m
+
+    whole = regs(b, r)
+    h = len(uid) // 2
+    merged = np.maximum(regs(b[:h], r[:h]), regs(b[h:], r[h:]))
+    np.testing.assert_array_equal(whole, merged)
+
+
+def test_hll_estimate_accuracy():
+    """Estimate within 5% of the true cardinality across 3 orders of
+    magnitude (m=1024 → theoretical ~3.25% standard error)."""
+    rng = np.random.default_rng(7)
+    for true_n in (300, 20_000, 500_000):
+        uid = rng.choice(np.arange(true_n, dtype=np.int64) + 10_000_000,
+                         size=true_n * 2, replace=True)
+        b, r = A._hll_rows(uid, A._HLL_SEED)
+        sk = pd.DataFrame({"event_type": "x", "bucket": b, "rho": r}) \
+            .groupby(["event_type", "bucket"], as_index=False)["rho"].max() \
+            .rename(columns={"rho": "max_rho"})
+        est = A.hll_estimate(sk)["x"]
+        true = len(np.unique(uid))
+        assert abs(est - true) / true < 0.05, (true_n, est, true)
+
+
+def test_hll_sketch_events_matches_sql(ray_session):
+    got = A.hll_sketch_events(SF_SMOKE).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'")
+    a = _cmp_sql(got, con, A.hll_sketch_sql())
+    # sanity: estimates from the gate sketch track the true distincts
+    est = A.hll_estimate(a)
+    true = con.sql("SELECT event_type, COUNT(DISTINCT user_id) AS n "
+                   "FROM events GROUP BY 1").df().set_index("event_type")["n"]
+    for g, e in est.items():
+        assert abs(e - true[g]) / true[g] < 0.1, (g, e, true[g])
+
+
+# ---------------------------------------------------------------------------
+# distance join
+# ---------------------------------------------------------------------------
+
+
+def test_distance_join_matches_bruteforce(ray_session):
+    """Covering-pruned cap join == brute-force chord test on every
+    (site, event) pair — proves the probe prunes nothing it shouldn't."""
+    from s2geometry_ray.kernels.cellid import latlng_to_xyz
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    got = A.distance_join_sites_events(SF_SMOKE).to_pandas()
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet", columns=["event_id"])
+    eid = ev["event_id"].to_numpy()
+    xyz = latlng_to_xyz(derive_lat(eid), derive_lng(eid))
+    rows = []
+    for sid, cap in A._site_caps():
+        d = xyz - np.asarray(cap.center)
+        m = np.einsum("ij,ij->i", d, d) <= 2.0 * cap.height
+        rows.append(pd.DataFrame({"site_id": sid, "event_id": eid[m]}))
+    want = pd.concat(rows, ignore_index=True)
+    a = got.sort_values(["site_id", "event_id"]).reset_index(drop=True)
+    b = want.sort_values(["site_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
+    assert a["site_id"].nunique() > 1
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_crafted_ties_and_empty_docs(ray_session):
+    """Crafted corpus: score ties break by term asc; letter-free and
+    empty docs vanish from the output on both engines; punctuation and
+    case split terms identically."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "aa bb aa cc",          # tf tie aa=2 vs (bb, cc)=1
+            "aa cc cc",
+            "",                     # empty
+            "123 ,,, 456",          # no letters
+            "xx yy zz ww vv",       # 5 singleton terms, df all 1 → term asc
+            "Aa aa AA",             # case splits terms
+        ],
+        "lang": ["en"] * 6,
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       os.path.join(tmp, "documents.parquet"))
+        got = A.tfidf_top_terms(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{tmp}/documents.parquet'")
+        a = _cmp_sql(got, con, A.TFIDF_SQL)
+    assert set(a["doc_id"]) == {0, 1, 4, 5}
+    top4 = a[a["doc_id"] == 4].sort_values("rn")["term"].tolist()
+    assert top4 == ["vv", "ww", "xx"]  # equal scores → term ascending
+
+
+def test_tfidf_smoke_table_matches_sql(ray_session):
+    got = A.tfidf_top_terms(SF_SMOKE).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF_SMOKE}/documents.parquet'")
+    a = _cmp_sql(got, con, A.TFIDF_SQL)
+    assert (a.groupby("doc_id")["rn"].max() <= A._TFIDF_TOPN).all()
+
+
+# ---------------------------------------------------------------------------
+# regex scan + pivot
+# ---------------------------------------------------------------------------
+
+
+def test_regex_scan_with_real_pii(ray_session):
+    """Strings with actual emails/urls/digits — Arrow RE2 counts equal
+    DuckDB RE2 counts including overlapping-adjacent and null cases."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "mail a.b@c.d and x@y.z twice",
+            "see https://ex.com/a_b and http://t.co/x now",
+            "digits 123 456x789",
+            "tabs table tables stack scan scn",
+            "",
+        ],
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       os.path.join(tmp, "documents.parquet"))
+        got = A.regex_scan_docs(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{tmp}/documents.parquet'")
+        a = _cmp_sql(got, con, A.REGEX_SCAN_SQL)
+    assert a.loc[a["doc_id"] == 0, "n_email"].item() == 2
+    assert a.loc[a["doc_id"] == 1, "n_url"].item() == 2
+    assert a.loc[a["doc_id"] == 2, "n_digits"].item() == 3
+
+
+def test_pivot_unknown_event_type_fails_loudly(ray_session):
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 2], dtype=np.int64),
+        "event_type": ["click", "mystery"],
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        with pytest.raises(Exception, match="unknown event_type"):
+            A.pivot_user_event_counts(tmp).materialize()
+
+
+def test_pivot_matches_sql(ray_session):
+    got = A.pivot_user_event_counts(SF_SMOKE).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'")
+    a = _cmp_sql(got, con, A.PIVOT_SQL)
+    # row counts reconstruct the table size
+    assert int(a[[c for c in a.columns if c.startswith("n_")]].sum().sum()) \
+        == pq.read_metadata(f"{SF_SMOKE}/events.parquet").num_rows
