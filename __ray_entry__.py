@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": AN.tfidf_top_terms,
         "regex_scan_docs": AN.regex_scan_docs,
         "pivot_user_event_counts": AN.pivot_user_event_counts,
+        "voronoi_assign_events": AN.voronoi_assign_events,
+        "geofence_transitions_events": AN.geofence_transitions_events,
     }
 
 
@@ -394,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_docs": AN.TFIDF_SQL,
         "regex_scan_docs": AN.REGEX_SCAN_SQL,
         "pivot_user_event_counts": AN.PIVOT_SQL,
+        "voronoi_assign_events": AN.voronoi_assign_sql(),
+        "geofence_transitions_events": AN.geofence_transitions_sql(),
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

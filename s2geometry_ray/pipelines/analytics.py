@@ -453,3 +453,183 @@ PIVOT_SQL = "SELECT CAST(user_id AS BIGINT) AS user_id,\n" + ",\n".join(
     f"       CAST(SUM(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
     f" AS BIGINT) AS n_{ty}" for ty in _EVENT_TYPES
 ) + "\nFROM events GROUP BY user_id"
+
+# ---------------------------------------------------------------------------
+# Voronoi (nearest-site) assignment: classify every event to its nearest
+# site by spherical chord distance — the "assign to nearest hub" join.
+# ---------------------------------------------------------------------------
+
+
+def _site_matrix() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(site_ids, centers (S,3), thresholds (S,)) as numpy constants —
+    tiny; closed over by the batch fns (no object-store round trip for
+    a sub-kilobyte broadcast)."""
+    caps = _site_caps()
+    ids = np.array([sid for sid, _ in caps], dtype=np.int64)
+    centers = np.array([cap.center for _, cap in caps], dtype=np.float64)
+    thr = np.array([2.0 * cap.height for _, cap in caps], dtype=np.float64)
+    return ids, centers, thr
+
+
+def _chord2_to_sites(t: pa.Table, centers: np.ndarray) -> np.ndarray:
+    """(N, S) chord² from each batch point to each site center, with the
+    SAME per-coordinate expression the SQL twin uses ((d·d) summed
+    left-to-right) — NOT the |a|²+|b|²−2ab GEMM identity, which rounds
+    differently and could flip an argmin/threshold on a knife-edge."""
+    from s2geometry_ray.kernels.cellid import latlng_to_xyz
+
+    lat = t["lat"].to_numpy(zero_copy_only=False)
+    lng = t["lng"].to_numpy(zero_copy_only=False)
+    xyz = latlng_to_xyz(lat, lng)
+    d = xyz[:, None, :] - centers[None, :, :]
+    return np.einsum("nsj,nsj->ns", d, d)
+
+
+def voronoi_assign_events(sf_dir: str):
+    """→ (event_id, site_id) nearest site per event; ties break to the
+    lowest site_id (np.argmin first-minimum == the SQL twin's
+    ``ORDER BY dist2, site_id``).  Embarrassingly parallel: one
+    (N×S×3) vectorized distance block per batch, no shuffle — the
+    classic broadcast-classify stage."""
+    from s2geometry_ray.pipelines.flagship import _points_ds
+
+    ids, centers, _thr = _site_matrix()
+
+    def assign(t: pa.Table) -> pa.Table:
+        d2 = _chord2_to_sites(t, centers)
+        near = ids[np.argmin(d2, axis=1)]
+        return pa.table({"event_id": t["event_id"],
+                         "site_id": pa.array(near)})
+
+    return _points_ds(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def voronoi_assign_sql() -> str:
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    rows = []
+    for sid, cap in _site_caps():
+        cx, cy, cz = cap.center
+        rows.append(f"({sid}, {cx!r}, {cy!r}, {cz!r})")
+    values = ",\n         ".join(rows)
+    lat = derive_lat_sql("event_id")
+    lng = derive_lng_sql("event_id")
+    return f"""
+WITH sites AS (
+  SELECT * FROM (VALUES {values}) AS v(site_id, cx, cy, cz)),
+p AS (
+  SELECT event_id,
+         cos(radians({lat})) * cos(radians({lng})) AS px,
+         cos(radians({lat})) * sin(radians({lng})) AS py,
+         sin(radians({lat})) AS pz
+  FROM events),
+d AS (
+  SELECT event_id, site_id,
+         (px - cx) * (px - cx) + (py - cy) * (py - cy)
+         + (pz - cz) * (pz - cz) AS dist2
+  FROM p, sites)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(site_id AS BIGINT) AS site_id
+FROM (SELECT event_id, site_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY dist2, site_id) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geofence transitions: per-user enter/exit events of the site-cap union
+# — a spatial-predicate × ordered-window composition (the streaming
+# geofencing primitive).
+# ---------------------------------------------------------------------------
+
+
+def geofence_transitions_events(sf_dir: str):
+    """Rows where a user's in-fence flag FLIPS between consecutive
+    events (ordered by ts, event_id): ``entered`` = the new state.
+
+    Stage 1 (map-only): in_fence = any site's chord² ≤ its threshold —
+    the same vectorized block as the Voronoi stage.  Stage 2 (one
+    shuffle): hash-partition by user_id, one lexsort + shifted-compare
+    per partition — no per-user Python, the rolling-window pattern.
+
+    Partitioning assumption: a user's rows co-locate (user_id % P,
+    P ∝ rows)."""
+    from s2geometry_ray.pipelines.flagship import _points_ds
+
+    _ids, centers, thr = _site_matrix()
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_parts = derive_num_parts(n_rows, rows_per_part=100_000)
+
+    def flags(t: pa.Table) -> pa.Table:
+        d2 = _chord2_to_sites(t, centers)
+        in_f = (d2 <= thr[None, :]).any(axis=1)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pa.array(uid),
+            "ts": t["ts"],
+            "in_f": pa.array(in_f.astype(np.int64)),
+            "part": pa.array(uid % num_parts),
+        })
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        in_f = g["in_f"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, in_f = uid[order], eid[order], in_f[order]
+        n = len(uid)
+        same_user = np.zeros(n, dtype=bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = in_f[:-1]
+        flip = same_user & (in_f != prev)
+        return pd.DataFrame({"user_id": uid[flip], "event_id": eid[flip],
+                             "entered": in_f[flip]})
+
+    pts = _points_ds(sf_dir, extra_cols=("user_id", "ts"))
+    return (pts.map_batches(flags, batch_format="pyarrow", batch_size=None)
+            .groupby("part").map_groups(transitions, batch_format="pandas"))
+
+
+def geofence_transitions_sql() -> str:
+    rows = []
+    for sid, cap in _site_caps():
+        cx, cy, cz = cap.center
+        thr = 2.0 * cap.height
+        rows.append(f"({sid}, {cx!r}, {cy!r}, {cz!r}, {thr!r})")
+    values = ",\n         ".join(rows)
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    lat = derive_lat_sql("event_id")
+    lng = derive_lng_sql("event_id")
+    return f"""
+WITH sites AS (
+  SELECT * FROM (VALUES {values}) AS v(site_id, cx, cy, cz, thr)),
+p AS (
+  SELECT event_id, user_id, ts,
+         cos(radians({lat})) * cos(radians({lng})) AS px,
+         cos(radians({lat})) * sin(radians({lng})) AS py,
+         sin(radians({lat})) AS pz
+  FROM events),
+inf AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         MAX(CASE WHEN (px - cx) * (px - cx) + (py - cy) * (py - cy)
+                       + (pz - cz) * (pz - cz) <= thr
+                  THEN 1 ELSE 0 END) AS in_f
+  FROM p, sites GROUP BY p.event_id, p.user_id, p.ts),
+lagd AS (
+  SELECT event_id, user_id, in_f,
+         LAG(in_f) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_f
+  FROM inf)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(in_f AS BIGINT) AS entered
+FROM lagd WHERE prev_f IS NOT NULL AND in_f <> prev_f
+"""

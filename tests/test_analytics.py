@@ -221,3 +221,66 @@ def test_pivot_matches_sql(ray_session):
     # row counts reconstruct the table size
     assert int(a[[c for c in a.columns if c.startswith("n_")]].sum().sum()) \
         == pq.read_metadata(f"{SF_SMOKE}/events.parquet").num_rows
+
+
+# ---------------------------------------------------------------------------
+# voronoi assignment + geofence transitions
+# ---------------------------------------------------------------------------
+
+
+def test_voronoi_assign_matches_bruteforce(ray_session):
+    """Nearest-site assignment == driver-side argmin over every
+    (event, site) distance, with first-minimum tie semantics."""
+    from s2geometry_ray.kernels.cellid import latlng_to_xyz
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    got = A.voronoi_assign_events(SF_SMOKE).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    eid = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                        columns=["event_id"])["event_id"].to_numpy()
+    xyz = latlng_to_xyz(derive_lat(eid), derive_lng(eid))
+    ids, centers, _thr = A._site_matrix()
+    d = xyz[:, None, :] - centers[None, :, :]
+    near = ids[np.argmin(np.einsum("nsj,nsj->ns", d, d), axis=1)]
+    want = pd.DataFrame({"event_id": eid, "site_id": near}) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["site_id"].nunique() > 1
+    assert len(got) == len(eid)              # every event is assigned
+
+
+def test_geofence_transitions_crafted(ray_session):
+    """Crafted user journeys: an in→out→in path emits exactly the two
+    flips; an always-out user emits nothing; ts ties order by event_id."""
+    from s2geometry_ray.kernels.cellid import xyz_to_latlng
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    # event_ids whose derived geotag is inside/outside the fence union
+    ids = np.arange(5000, dtype=np.int64)
+    from s2geometry_ray.kernels.cellid import latlng_to_xyz
+
+    xyz = latlng_to_xyz(derive_lat(ids), derive_lng(ids))
+    _sids, centers, thr = A._site_matrix()
+    d = xyz[:, None, :] - centers[None, :, :]
+    inside = (np.einsum("nsj,nsj->ns", d, d) <= thr[None, :]).any(axis=1)
+    in_ids = ids[inside][:2]
+    out_ids = ids[~inside][:3]
+    assert len(in_ids) == 2 and len(out_ids) == 3
+    # user 1: in, out, in  (2 flips)  — user 2: out, out (0 flips)
+    ev = pd.DataFrame({
+        "event_id": np.concatenate([in_ids[:1], out_ids[:1], in_ids[1:2],
+                                    out_ids[1:]]).astype(np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime([10, 20, 30, 10, 20], unit="s"),
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        got = A.geofence_transitions_events(tmp).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        _cmp_sql(got, con, A.geofence_transitions_sql())
+    assert set(got["user_id"]) == {1}
+    assert got["entered"].tolist() in ([0, 1], [1, 0])
+    assert len(got) == 2
