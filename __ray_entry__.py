@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_event_counts": AN.pivot_user_event_counts,
         "voronoi_assign_events": AN.voronoi_assign_events,
         "geofence_transitions_events": AN.geofence_transitions_events,
+        "bloom_join_urgent_revenue": AN.bloom_join_urgent_revenue,
     }
 
 
@@ -398,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_user_event_counts": AN.PIVOT_SQL,
         "voronoi_assign_events": AN.voronoi_assign_sql(),
         "geofence_transitions_events": AN.geofence_transitions_sql(),
+        "bloom_join_urgent_revenue": AN.BLOOM_JOIN_SQL,
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

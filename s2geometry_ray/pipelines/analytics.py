@@ -633,3 +633,77 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(in_f AS BIGINT) AS entered
 FROM lagd WHERE prev_f IS NOT NULL AND in_f <> prev_f
 """
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned selective hash join: build side = 1-URGENT orders only,
+# probe side (lineitem) is Bloom-prefiltered BEFORE the shuffle join, so
+# shuffle volume tracks the build side's selectivity (~20%) instead of
+# the probe table's size.  False positives die in the join — the result
+# is exactly the unpruned join (pytest-pinned), which is what makes a
+# value-exact gate possible for an approximate structure.
+# ---------------------------------------------------------------------------
+
+
+def bloom_join_urgent_revenue(sf_dir: str, prune: bool = True):
+    """Revenue carried by 1-URGENT orders, via Bloom-pruned hash join.
+
+    ``prune=False`` runs the identical plan minus the Bloom stage (the
+    equality of both is the no-false-negatives contract, tested)."""
+    import ray
+
+    from s2geometry_ray.functions.bloom import (
+        bloom_params,
+        bloom_prefilter,
+        build_bloom,
+    )
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    urgent = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow", batch_size=None)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    if prune:
+        # size from the UNfiltered order count (metadata — no extra
+        # scan); oversizing only lowers the FPR
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        n_bits, k = bloom_params(n_orders)
+        words_ref = ray.put(build_bloom(urgent, "o_orderkey", n_bits, k))
+        li = bloom_prefilter(li, "l_orderkey", words_ref, n_bits, k)
+
+    joined = li.join(urgent, join_type="inner",
+                     num_partitions=derive_num_parts(
+                         n_li, rows_per_part=250_000),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": pa.array(["1-URGENT"]),
+            "n": pa.array([len(t)], type=pa.int64()),
+            "revenue_e4": pa.array([int(rev.sum())], type=pa.int64())})
+
+    partials = joined.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+    return combine_partials(partials, "o_orderpriority",
+                            {"n": "sum", "revenue_e4": "sum"})
+
+
+BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""

@@ -284,3 +284,66 @@ def test_geofence_transitions_crafted(ray_session):
     assert set(got["user_id"]) == {1}
     assert got["entered"].tolist() in ([0, 1], [1, 0])
     assert len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    from s2geometry_ray.functions import bloom as B
+
+    rng = np.random.default_rng(23)
+    members = rng.choice(1 << 40, 100_000, replace=False).astype(np.int64)
+    n_bits, k = B.bloom_params(len(members))
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    B._or_into(words, members, n_bits, k)
+    assert B.bloom_contains(words, members, n_bits, k).all()  # NO false negs
+    probe = rng.choice(1 << 40, 200_000, replace=False).astype(np.int64)
+    probe = probe[~np.isin(probe, members)]
+    fpr = B.bloom_contains(words, probe, n_bits, k).mean()
+    assert fpr < 0.01, fpr                                    # 16b/key, k=7
+
+
+def test_bloom_join_pruned_equals_unpruned_and_sql(ray_session):
+    got = A.bloom_join_urgent_revenue(SF_SMOKE).to_pandas()
+    plain = A.bloom_join_urgent_revenue(SF_SMOKE, prune=False).to_pandas()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    _cmp_sql(got, con, A.BLOOM_JOIN_SQL)
+
+
+def test_bloom_prefilter_selectivity(ray_session):
+    """The pruning stage actually prunes: surviving probe rows ≈ the
+    build side's share (+FPR), far below the full table."""
+    import ray
+
+    from s2geometry_ray.functions import bloom as B
+
+    import ray.data as rd
+
+    urgent = rd.read_parquet(f"{SF_SMOKE}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            __import__("pyarrow.compute", fromlist=["equal"])
+            .equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow", batch_size=None)
+    n_orders = pq.read_metadata(f"{SF_SMOKE}/orders.parquet").num_rows
+    n_bits, k = B.bloom_params(n_orders)
+    words_ref = ray.put(B.build_bloom(urgent, "o_orderkey", n_bits, k))
+    li = rd.read_parquet(f"{SF_SMOKE}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    total = li.count()
+    kept = B.bloom_prefilter(li, "l_orderkey", words_ref, n_bits, k).count()
+    urgent_share = duckdb.sql(
+        f"SELECT count(*) FILTER (o_orderpriority = '1-URGENT') * 1.0 "
+        f"/ count(*) FROM '{SF_SMOKE}/orders.parquet'").fetchone()[0]
+    assert kept < total * (urgent_share + 0.05)
+    assert kept > 0
