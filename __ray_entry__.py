@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_assign_events": AN.voronoi_assign_events,
         "geofence_transitions_events": AN.geofence_transitions_events,
         "bloom_join_urgent_revenue": AN.bloom_join_urgent_revenue,
+        "json_field_stats_events": AN.json_field_stats_events,
     }
 
 
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "voronoi_assign_events": AN.voronoi_assign_sql(),
         "geofence_transitions_events": AN.geofence_transitions_sql(),
         "bloom_join_urgent_revenue": AN.BLOOM_JOIN_SQL,
+        "json_field_stats_events": AN.JSON_FIELD_SQL,
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

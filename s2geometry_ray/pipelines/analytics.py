@@ -707,3 +707,56 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority
 """
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: pull "k" out of the events.props JSON blob
+# with an RE2 named group (both engines are RE2; DuckDB's no-match ''
+# is NULLIF'd to align with Arrow's no-match null) and aggregate per
+# event type — the props column never shuffles, only tiny partials do.
+# ---------------------------------------------------------------------------
+
+
+def json_field_stats_events(sf_dir: str):
+    """Per-event_type stats of the ``props`` JSON field ``k``:
+    row count, matched count, sum and max of k — map-side partials +
+    bounded combine (event_type is an enum)."""
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"])
+        ex = pc.struct_field(
+            pc.extract_regex(pc.cast(t["props"], pa.string()),
+                             r'"k": (?P<v>[0-9]+)'), "v")
+        has = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        vi = pc.cast(pc.fill_null(ex, "0"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "n": 1,
+                           "n_k": has.astype(np.int64), "sum_k": vi,
+                           "max_k": np.where(has, vi, np.int64(-1))})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+            max_k=("max_k", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "event_type", {"n": "sum", "n_k": "sum", "sum_k": "sum",
+                       "max_k": "max"})
+
+
+JSON_FIELD_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+              AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       CAST(COALESCE(MAX(k), -1) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+"""

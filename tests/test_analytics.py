@@ -347,3 +347,31 @@ def test_bloom_prefilter_selectivity(ray_session):
         f"/ count(*) FROM '{SF_SMOKE}/orders.parquet'").fetchone()[0]
     assert kept < total * (urgent_share + 0.05)
     assert kept > 0
+
+
+# ---------------------------------------------------------------------------
+# JSON field extraction
+# ---------------------------------------------------------------------------
+
+
+def test_json_field_stats_garbage_and_missing(ray_session):
+    """props rows that are garbage / missing the key / null count into
+    n but not n_k, and never poison sum/max — matching the NULLIF'd
+    DuckDB twin exactly."""
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b", "b"],
+        "props": ['{"k": 7}', "garbage", '{"j": 1}', '{"k": 0}', None],
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        got = A.json_field_stats_events(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        a = _cmp_sql(got, con, A.JSON_FIELD_SQL)
+    row_a = a[a["event_type"] == "a"].iloc[0]
+    assert (row_a["n"], row_a["n_k"], row_a["sum_k"], row_a["max_k"]) \
+        == (3, 1, 7, 7)
+    row_b = a[a["event_type"] == "b"].iloc[0]
+    assert (row_b["n"], row_b["n_k"], row_b["sum_k"], row_b["max_k"]) \
+        == (2, 1, 0, 0)
