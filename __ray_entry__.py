@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geofence_transitions_events": AN.geofence_transitions_events,
         "bloom_join_urgent_revenue": AN.bloom_join_urgent_revenue,
         "json_field_stats_events": AN.json_field_stats_events,
+        "corpus_curation_docs": AN.corpus_curation_docs,
     }
 
 
@@ -402,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions_events": AN.geofence_transitions_sql(),
         "bloom_join_urgent_revenue": AN.BLOOM_JOIN_SQL,
         "json_field_stats_events": AN.JSON_FIELD_SQL,
+        "corpus_curation_docs": AN.corpus_curation_sql(),
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

@@ -472,11 +472,18 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
     max_broadcast_keys = 5_000_000
     if n_rows_hint is None:
         n_rows_hint = dataset_count_hint(ds)
-    join_parts = derive_num_parts(n_rows_hint, rows_per_part=250_000)
     cands = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands,
                                     text_col=text_col, key_col=key_col,
                                     scheme=scheme,
                                     n_rows_hint=n_rows_hint).materialize()
+    # the joins move CANDIDATE rows, so size partitions from the exact
+    # (already-materialized) candidate count — with lo=1: a sparse
+    # candidate set across more partitions than rows leaves empty
+    # hash-join partitions, whose schema-less blocks break the SECOND
+    # chained Dataset.join in Ray 2.49 (ArrowInvalid "no match for key
+    # field" — reproduced in tests/test_analytics.py's crafted corpus)
+    join_parts = derive_num_parts(max(cands.count(), 1),
+                                  rows_per_part=250_000, lo=1)
 
     def semi_filter(side_keys: np.ndarray):
         import ray

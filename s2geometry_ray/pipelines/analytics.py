@@ -760,3 +760,151 @@ SELECT event_type,
        CAST(COALESCE(MAX(k), -1) AS BIGINT) AS max_k
 FROM x GROUP BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the composed training-data pipeline a
+# 100-TB text corpus actually runs — quality filter → exact dedup →
+# MinHash-LSH + exact-Jaccard near-dup → connected-component
+# representative keep → deterministic shard assignment.  Every stage is
+# an existing engine operator; the DuckDB twin is ASSEMBLED from the
+# same generated-SQL building blocks (minhash_ctes, the Jaccard verify
+# chain, the recursive-CTE components oracle, the splitmix shard key),
+# so the whole composition is value-exact end-to-end.
+# ---------------------------------------------------------------------------
+
+_CUR_MIN_WORDS = 30   # quality gate: ≥ 30 letter-words (~22% filtered)
+_CUR_TAU = 0.5        # near-dup Jaccard threshold
+_CUR_SHARDS = 8
+_CUR_SEED = 13
+
+
+def corpus_curation_docs(sf_dir: str):
+    """→ (doc_id, shard) for every SURVIVING document.
+
+    Stages (each documented at its operator):
+    1. quality filter — map-only RE2 word count ≥ _CUR_MIN_WORDS;
+    2. exact dedup — fingerprint partition, keep min doc_id per group
+       (fp64 grouping == text grouping at birthday-2⁻⁶⁴; the SQL twin
+       partitions by text itself);
+    3. near-dup — LSH candidates + exact shingle-Jaccard ≥ τ
+       (functions/dedup.jaccard_verified_pairs), then min-label
+       connected components over the pair graph; keep representatives;
+    4. shard — splitmix64(doc_id ⊕ mix(seed)) mod _CUR_SHARDS, the
+       deterministic epoch-shuffle key.
+
+    Scale note: survivors materialize once mid-pipeline because three
+    downstream consumers read them (pair sides + node list) — at
+    cluster scale this is the natural checkpoint boundary
+    (state/manifests.py would write it as partitioned parquet and the
+    three consumers would read the checkpoint)."""
+    from s2geometry_ray.functions.dedup import (
+        connected_components,
+        jaccard_verified_pairs,
+    )
+    from s2geometry_ray.functions.shuffle import _seed_mix
+    from s2geometry_ray.functions.text import _splitmix64, fingerprint_batch
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    num_parts = derive_num_parts(n_docs, rows_per_part=100_000)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def qual(t: pa.Table) -> pa.Table:
+        nw = pc.count_substring_regex(pc.cast(t["text"], pa.string()),
+                                      "[A-Za-z]+")
+        return t.filter(pc.greater_equal(nw, _CUR_MIN_WORDS))
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        out = fingerprint_batch(t, "text")
+        fp = out["fp64"].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "part", pa.array(fp.view(np.uint64) % np.uint64(num_parts)))
+
+    def reps(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("fp64")["doc_id"].transform("min")
+        keep = g["doc_id"].to_numpy() == rep.to_numpy()
+        return g.loc[keep, ["doc_id", "text"]]
+
+    survivors = (docs.map_batches(qual, batch_format="pyarrow",
+                                  batch_size=None)
+                 .map_batches(add_fp, batch_format="pyarrow",
+                              batch_size=None)
+                 .groupby("part").map_groups(reps, batch_format="pandas")
+                 .materialize())
+
+    pairs = jaccard_verified_pairs(survivors, tau=_CUR_TAU,
+                                   n_rows_hint=n_docs)
+    comp = connected_components(pairs.select_columns(["key_a", "key_b"]),
+                                survivors.select_columns(["doc_id"]))
+
+    sm = np.uint64(_seed_mix(_CUR_SEED))
+
+    def finish(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = doc == rep
+        doc = doc[keep]
+        shard = (_splitmix64(doc.view(np.uint64) ^ sm)
+                 % np.uint64(_CUR_SHARDS)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc),
+                         "shard": pa.array(shard)})
+
+    return comp.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def corpus_curation_sql() -> str:
+    """The composed twin: quality/window CTEs + the minhash_ctes chain
+    (retargeted at the survivor CTE) + the Jaccard verify chain + the
+    recursive-CTE components oracle + the splitmix shard key."""
+    from s2geometry_ray.functions.gate_oracles import minhash_ctes
+    from s2geometry_ray.functions.shuffle import (
+        _seed_mix,
+        sql_splitmix64,
+    )
+
+    mc = minhash_ctes(table="s1").lstrip()
+    assert mc.startswith("WITH"), "minhash_ctes contract changed"
+    sm = _seed_mix(_CUR_SEED)
+    wrapped = (f"CAST(((CAST(doc_id AS HUGEINT) % 18446744073709551616)"
+               f" + 18446744073709551616) % 18446744073709551616"
+               f" AS UBIGINT)")
+    shard = (f"CAST({sql_splitmix64(f'xor({wrapped}, {sm})')}"
+             f" % {_CUR_SHARDS} AS BIGINT)")
+    prefix = f"""WITH RECURSIVE
+q AS (SELECT doc_id, text FROM documents
+      WHERE len(regexp_extract_all(text, '[A-Za-z]+')) >= {_CUR_MIN_WORDS}),
+s1 AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text,
+                MIN(doc_id) OVER (PARTITION BY text) AS rep1 FROM q)
+       WHERE doc_id = rep1),
+"""
+    body = mc[len("WITH"):].rstrip()
+    # the minhash chain ends with its final CTE ")" — continue the list
+    return prefix + body + f""",
+sizes AS (SELECT k, count(*) AS c FROM sh GROUP BY k),
+inter AS (
+  SELECT p.key_a, p.key_b, count(*) AS i
+  FROM pairs p
+  JOIN sh x ON x.k = p.key_a
+  JOIN sh y ON y.k = p.key_b AND y.h = x.h
+  GROUP BY p.key_a, p.key_b),
+iu AS (
+  SELECT p.key_a, p.key_b, COALESCE(i.i, 0) AS i,
+         sa.c + sb.c - COALESCE(i.i, 0) AS u
+  FROM pairs p
+  LEFT JOIN inter i ON i.key_a = p.key_a AND i.key_b = p.key_b
+  JOIN sizes sa ON sa.k = p.key_a
+  JOIN sizes sb ON sb.k = p.key_b),
+verified AS (
+  SELECT key_a, key_b FROM iu
+  WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= {_CUR_TAU}),
+sym AS (SELECT key_a AS u, key_b AS v FROM verified
+        UNION ALL SELECT key_b, key_a FROM verified),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM s1
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),
+rep2 AS (SELECT node AS doc_id, MIN(lbl) AS rep FROM reach GROUP BY node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {shard} AS shard
+FROM rep2 WHERE rep = doc_id
+"""

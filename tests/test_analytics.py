@@ -375,3 +375,59 @@ def test_json_field_stats_garbage_and_missing(ray_session):
     row_b = a[a["event_type"] == "b"].iloc[0]
     assert (row_b["n"], row_b["n_k"], row_b["sum_k"], row_b["max_k"]) \
         == (2, 1, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_curation_with_planted_duplicates(ray_session):
+    """Crafted corpus: exact duplicates collapse to the min doc_id,
+    near-duplicates (one word changed in a 40-word doc) collapse via
+    the LSH→Jaccard→components chain, short docs are quality-filtered,
+    and the survivor set + shards match the assembled SQL twin."""
+    base = " ".join(f"w{i} common word text" for i in range(12))  # 48 words
+    near = base.replace("w3", "XX", 1)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            base,                 # 0: representative
+            base,                 # 1: exact dup of 0 → dropped
+            near,                 # 2: near-dup of 0 → dropped (jac >= .5)
+            "short doc",          # 3: quality-filtered
+            " ".join(f"z{i} alpha beta gamma" for i in range(12)),  # 4
+            " ".join(f"q{i} delta epsi zeta" for i in range(12)),   # 5
+            base,                 # 6: exact dup of 0 → dropped
+            " ".join(f"r{i} one two three" for i in range(12)),     # 7
+        ],
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       os.path.join(tmp, "documents.parquet"))
+        got = A.corpus_curation_docs(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{tmp}/documents.parquet'")
+        a = _cmp_sql(got, con, A.corpus_curation_sql())
+    assert set(a["doc_id"]) == {0, 4, 5, 7}
+    assert a["shard"].between(0, A._CUR_SHARDS - 1).all()
+
+
+def test_curation_no_near_dups_at_all(ray_session):
+    """All-distinct corpus → zero LSH candidates → the pair join must
+    degrade gracefully and every quality-passing doc survives."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [" ".join(f"a{i}{j} foo bar baz" for j in range(12))
+                 for i in range(3)],
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       os.path.join(tmp, "documents.parquet"))
+        got = A.corpus_curation_docs(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{tmp}/documents.parquet'")
+        a = _cmp_sql(got, con, A.corpus_curation_sql())
+    assert set(a["doc_id"]) == {0, 1, 2}
