@@ -410,6 +410,101 @@ _QS = (0.5, 0.9, 0.99)
 _Q_BUCKETS = 4096
 
 
+class _QuantileScaffold:
+    """Passes 1–2 of the histogram-refinement quantile plan plus the
+    rank→bucket locator and the pass-3 targeted gather — shared by the
+    ``quantile_disc`` (quantiles_events) and ``quantile_cont``
+    (quantiles_cont_events) variants.  See quantiles_events for the
+    partitioning assumptions and the 100-TB posture of each pass."""
+
+    def __init__(self, path: str):
+        from s2geometry_ray.stages.tile_assign import combine_partials
+
+        self.path = path
+
+        # pass 1: per-group min / max / count
+        def p1(t: pa.Table) -> pa.Table:
+            g, c = self.to_cents(t)
+            df = pd.DataFrame({"g": g, "c": c}).groupby("g")["c"] \
+                .agg(["min", "max", "size"]).reset_index()
+            return pa.Table.from_pandas(
+                df.rename(columns={"min": "lo", "max": "hi", "size": "n"}),
+                preserve_index=False)
+
+        stats = combine_partials(
+            self.read().map_batches(p1, batch_format="pyarrow",
+                                    batch_size=None),
+            "g", {"lo": "min", "hi": "max", "n": "sum"}) \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        self.groups = stats["g"].to_numpy()
+        self.glo = stats["lo"].to_numpy(np.int64)
+        ghi = stats["hi"].to_numpy(np.int64)
+        self.gn = stats["n"].to_numpy(np.int64)
+        self.gidx = {g: i for i, g in enumerate(self.groups)}
+        self.width = np.maximum((ghi - self.glo + _Q_BUCKETS) // _Q_BUCKETS,
+                                1)
+
+        # pass 2: per-(group, bucket) histogram
+        def p2(t: pa.Table) -> pa.Table:
+            key = self.bucket_key(*self.to_cents(t))
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.table({"key": pa.array(uk, type=pa.int64()),
+                             "cnt": pa.array(cnt.astype(np.int64))})
+
+        hist = combine_partials(
+            self.read().map_batches(p2, batch_format="pyarrow",
+                                    batch_size=None),
+            "key", {"cnt": "sum"}).to_pandas()
+        hk = hist["key"].to_numpy(np.int64)
+        hc = hist["cnt"].to_numpy(np.int64)
+        order = np.argsort(hk)
+        hk, hc = hk[order], hc[order]
+        # per-group (bucket ids, cumulative counts) for the locator
+        self._bk, self._cum = [], []
+        for i in range(len(self.groups)):
+            m = (hk // _Q_BUCKETS) == i
+            self._bk.append(hk[m] % _Q_BUCKETS)
+            self._cum.append(np.cumsum(hc[m]))
+
+    def read(self):
+        return rd.read_parquet(self.path, columns=["event_type", "value"])
+
+    @staticmethod
+    def to_cents(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        g = np.asarray(t["event_type"])
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return g, c
+
+    def bucket_key(self, g: np.ndarray, c: np.ndarray) -> np.ndarray:
+        gi = np.fromiter((self.gidx[x] for x in g), np.int64, len(g))
+        b = np.clip((c - self.glo[gi]) // self.width[gi], 0, _Q_BUCKETS - 1)
+        return gi * _Q_BUCKETS + b
+
+    def locate(self, i: int, k: int) -> tuple[int, int]:
+        """Group i, 0-based rank k → (bucket key, residual rank)."""
+        cum, bk = self._cum[i], self._bk[i]
+        j = int(np.searchsorted(cum, k, side="right"))
+        resid = k - (int(cum[j - 1]) if j else 0)
+        return i * _Q_BUCKETS + int(bk[j]), resid
+
+    def gather(self, want_keys: np.ndarray) -> dict[int, np.ndarray]:
+        """Pass 3: sorted cents of ONLY the selected buckets."""
+        wk = np.sort(want_keys)
+
+        def p3(t: pa.Table) -> pa.Table:
+            g, c = self.to_cents(t)
+            key = self.bucket_key(g, c)
+            m = np.isin(key, wk)
+            return pa.table({"key": pa.array(key[m]),
+                             "c": pa.array(c[m], type=pa.int64())})
+
+        gathered = self.read().map_batches(p3, batch_format="pyarrow",
+                                           batch_size=None).to_pandas()
+        return {int(key): np.sort(grp["c"].to_numpy(np.int64))
+                for key, grp in gathered.groupby("key")}
+
+
 def quantiles_events(sf_dir: str, qs: tuple = _QS):
     """Exact per-group quantiles of integer cents with bounded memory:
 
@@ -429,95 +524,64 @@ def quantiles_events(sf_dir: str, qs: tuple = _QS):
     100-TB posture: every pass is a map_batches partial + tiny combine;
     the full column never shuffles and never sorts globally.
     """
-    path = f"{sf_dir}/events.parquet"
-
-    def read():
-        return rd.read_parquet(path, columns=["event_type", "value"])
-
-    def to_cents(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        g = np.asarray(t["event_type"])
-        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
-                     ).astype(np.int64)
-        return g, c
-
-    # pass 1: per-group min / max / count
-    def p1(t: pa.Table) -> pa.Table:
-        g, c = to_cents(t)
-        df = pd.DataFrame({"g": g, "c": c}).groupby("g")["c"] \
-            .agg(["min", "max", "size"]).reset_index()
-        return pa.Table.from_pandas(
-            df.rename(columns={"min": "lo", "max": "hi", "size": "n"}),
-            preserve_index=False)
-
-    from s2geometry_ray.stages.tile_assign import combine_partials
-
-    stats = combine_partials(read().map_batches(p1, batch_format="pyarrow",
-                                                batch_size=None),
-                             "g", {"lo": "min", "hi": "max", "n": "sum"}) \
-        .to_pandas().sort_values("g").reset_index(drop=True)
-    groups = stats["g"].to_numpy()
-    glo = stats["lo"].to_numpy(np.int64)
-    ghi = stats["hi"].to_numpy(np.int64)
-    gn = stats["n"].to_numpy(np.int64)
-    gidx = {g: i for i, g in enumerate(groups)}
-    width = np.maximum((ghi - glo + _Q_BUCKETS) // _Q_BUCKETS, 1)
-
-    # pass 2: per-(group, bucket) histogram
-    def p2(t: pa.Table) -> pa.Table:
-        g, c = to_cents(t)
-        gi = np.fromiter((gidx[x] for x in g), np.int64, len(g))
-        b = np.clip((c - glo[gi]) // width[gi], 0, _Q_BUCKETS - 1)
-        key = gi * _Q_BUCKETS + b
-        uk, cnt = np.unique(key, return_counts=True)
-        return pa.table({"key": pa.array(uk, type=pa.int64()),
-                         "cnt": pa.array(cnt.astype(np.int64))})
-
-    hist = combine_partials(read().map_batches(p2, batch_format="pyarrow",
-                                               batch_size=None),
-                            "key", {"cnt": "sum"}).to_pandas()
-    hk = hist["key"].to_numpy(np.int64)
-    hc = hist["cnt"].to_numpy(np.int64)
-    order = np.argsort(hk)
-    hk, hc = hk[order], hc[order]
-
-    # locate, per (group, q), the bucket holding rank ceil(q·n)−1 and the
-    # residual rank inside that bucket
+    ns = _QuantileScaffold(f"{sf_dir}/events.parquet")
     want: dict[int, list[tuple[float, int, int]]] = {}
-    for i in range(len(groups)):
-        m = (hk // _Q_BUCKETS) == i
-        bk, bc = hk[m] % _Q_BUCKETS, hc[m]
-        cum = np.cumsum(bc)
+    for i in range(len(ns.groups)):
         for q in qs:
-            k = int(np.ceil(q * gn[i])) - 1
-            j = int(np.searchsorted(cum, k, side="right"))
-            resid = k - (int(cum[j - 1]) if j else 0)
-            want.setdefault(i * _Q_BUCKETS + int(bk[j]), []).append(
-                (q, resid, i))
-
-    want_keys = np.array(sorted(want), dtype=np.int64)
-
-    # pass 3: gather ONLY rows in the selected buckets
-    def p3(t: pa.Table) -> pa.Table:
-        g, c = to_cents(t)
-        gi = np.fromiter((gidx[x] for x in g), np.int64, len(g))
-        b = np.clip((c - glo[gi]) // width[gi], 0, _Q_BUCKETS - 1)
-        key = gi * _Q_BUCKETS + b
-        m = np.isin(key, want_keys)
-        return pa.table({"key": pa.array(key[m]),
-                         "c": pa.array(c[m], type=pa.int64())})
-
-    gathered = read().map_batches(p3, batch_format="pyarrow",
-                                  batch_size=None).to_pandas()
+            k = int(np.ceil(q * ns.gn[i])) - 1
+            key, resid = ns.locate(i, k)
+            want.setdefault(key, []).append((q, resid, i))
+    vals_by_key = ns.gather(np.array(sorted(want), dtype=np.int64))
     out_g, out_q, out_v = [], [], []
-    for key, grp in gathered.groupby("key"):
-        vals = np.sort(grp["c"].to_numpy(np.int64))
-        for q, resid, i in want[int(key)]:
-            out_g.append(groups[i])
+    for key, items in want.items():
+        vals = vals_by_key[key]
+        for q, resid, i in items:
+            out_g.append(ns.groups[i])
             out_q.append(int(round(q * 100)))
             out_v.append(int(vals[resid]))
     res = pa.table({"event_type": pa.array(out_g, type=pa.string()),
                     "q_pct": pa.array(out_q, type=pa.int64()),
                     "value_cents": pa.array(out_v, type=pa.int64())})
+    return rd.from_arrow(res)
+
+
+def quantiles_cont_events(sf_dir: str, qs: tuple = _QS):
+    """INTERPOLATED per-group quantiles (``quantile_cont`` semantics:
+    idx = q·(n−1), value = v⌊idx⌋ + (v⌊idx⌋₊₁ − v⌊idx⌋)·frac) through
+    the same 3-pass histogram plan — both bracketing order statistics
+    are located and gathered, then combined with the IDENTICAL IEEE
+    expression the SQL twin spells out (the twin interpolates
+    explicitly from ROW_NUMBER ranks rather than calling DuckDB's
+    quantile_cont, whose internal float association is unspecified)."""
+    ns = _QuantileScaffold(f"{sf_dir}/events.parquet")
+    want: dict[int, list[tuple[float, int, int, int]]] = {}
+    for i in range(len(ns.groups)):
+        n = int(ns.gn[i])
+        for q in qs:
+            idx = q * (n - 1)
+            k0 = int(np.floor(idx))
+            for part, k in ((0, k0), (1, min(k0 + 1, n - 1))):
+                key, resid = ns.locate(i, k)
+                want.setdefault(key, []).append((q, resid, i, part))
+    vals_by_key = ns.gather(np.array(sorted(want), dtype=np.int64))
+    picked: dict[tuple[int, float], dict[int, int]] = {}
+    for key, items in want.items():
+        vals = vals_by_key[key]
+        for q, resid, i, part in items:
+            picked.setdefault((i, q), {})[part] = int(vals[resid])
+    out_g, out_q, out_v = [], [], []
+    for (i, q), parts in sorted(picked.items(), key=lambda kv: kv[0][0]):
+        n = int(ns.gn[i])
+        idx = q * (n - 1)
+        f = np.floor(idx)
+        lo = parts[0]
+        hi = parts.get(1, lo)
+        out_g.append(ns.groups[i])
+        out_q.append(int(round(q * 100)))
+        out_v.append(float(lo + (hi - lo) * (idx - f)))
+    res = pa.table({"event_type": pa.array(out_g, type=pa.string()),
+                    "q_pct": pa.array(out_q, type=pa.int64()),
+                    "value_interp": pa.array(out_v, type=pa.float64())})
     return rd.from_arrow(res)
 
 
@@ -566,3 +630,29 @@ def io_roundtrip_jsonl(sf_dir: str):
 IO_JSONL_SQL = """
 SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len FROM documents
 """
+
+
+def _qcont_member(q: float) -> str:
+    # CAST to DOUBLE: a bare 0.9 literal is DECIMAL in DuckDB (exact
+    # decimal arithmetic), which would diverge from the engine's IEEE
+    # doubles in the last places of q·(n−1)
+    qd = f"CAST({q!r} AS DOUBLE)"
+    return f"""SELECT lo.event_type, CAST({int(round(q * 100))} AS BIGINT) AS q_pct,
+       lo.c + (hi.c - lo.c)
+       * ({qd} * (lo.n - 1) - floor({qd} * (lo.n - 1))) AS value_interp
+FROM r lo JOIN r hi ON hi.event_type = lo.event_type
+WHERE lo.rk = CAST(floor({qd} * (lo.n - 1)) AS BIGINT)
+  AND hi.rk = LEAST(lo.rk + 1, lo.n - 1)"""
+
+
+# interpolation spelled out from ROW_NUMBER ranks with the engine's own
+# IEEE expression — NOT DuckDB's quantile_cont, whose internal float
+# association is unspecified
+QUANTILES_CONT_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) - 1
+               AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+""" + "\nUNION ALL\n".join(_qcont_member(q) for q in _QS)

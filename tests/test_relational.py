@@ -195,3 +195,38 @@ def test_range_join_rejects_wide_interval():
                        os.path.join(tmp, "part.parquet"))
         with pytest.raises(ValueError, match="wider than"):
             R.range_join_events_parts(tmp)
+
+
+def test_quantiles_cont_pathological_groups(ray_session):
+    """Interpolated quantiles on crafted groups: constant column (all
+    interpolations equal the constant), n=1 group (idx always 0), a
+    2-row group (pure interpolation between the two values), and an
+    extreme-range group — bit-exact vs the explicit ROW_NUMBER twin."""
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    events = pd.DataFrame({
+        "event_type": (["const"] * 50 + ["single"] + ["two"] * 2
+                       + ["wide"] * 97),
+        "value": np.concatenate([
+            np.full(50, 7.25),
+            [42.0],
+            [1.0, 2.0],
+            rng.uniform(0, 1e6, 97).round(2),
+        ]),
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        got = R.quantiles_cont_events(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        want = con.sql(R.QUANTILES_CONT_SQL).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    g = a.set_index(["event_type", "q_pct"])["value_interp"]
+    assert (g.loc["const"] == 725.0).all()
+    assert (g.loc["single"] == 4200.0).all()
+    assert g.loc[("two", 50)] == 150.0          # midpoint of 100 and 200
