@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topn_orders_per_segment": REL.topn_orders_per_segment,
         "quantiles_events": REL.quantiles_events,
         "quantiles_cont_events": REL.quantiles_cont_events,
+        "rollup_event_day_counts": REL.rollup_event_day_counts,
         "io_roundtrip_jsonl": REL.io_roundtrip_jsonl,
         "distance_join_sites_events": AN.distance_join_sites_events,
         "hll_sketch_events": AN.hll_sketch_events,
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "topn_orders_per_segment": REL.TOPN_SEGMENT_SQL,
         "quantiles_events": REL.QUANTILES_SQL,
         "quantiles_cont_events": REL.QUANTILES_CONT_SQL,
+        "rollup_event_day_counts": REL.rollup_sql(),
         "io_roundtrip_jsonl": REL.IO_JSONL_SQL,
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,

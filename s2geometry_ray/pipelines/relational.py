@@ -656,3 +656,64 @@ r AS (SELECT event_type, c,
                AS rk,
              COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
 """ + "\nUNION ALL\n".join(_qcont_member(q) for q in _QS)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (multi-level aggregation): per-(event_type, day) counts plus
+# per-type subtotals and the grand total in one result — GROUP BY ROLLUP
+# parity.  NULL grouping slots are COALESCEd to sentinels ('ALL' / -1)
+# on both sides so the driver's value-hash sees identical rows.
+# ---------------------------------------------------------------------------
+
+
+def rollup_event_day_counts(sf_dir: str):
+    """Base (event_type, day) counts come from map-side partials + the
+    bounded combine (types × days keys); the subtotal and grand-total
+    levels DERIVE from that aggregate on the driver — no second scan,
+    no extra shuffle (the rollup of an algebraic aggregate is itself
+    algebraic over the base cells)."""
+    from s2geometry_ray.pipelines.tpch import _US_PER_DAY
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"])
+        us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        day = us // _US_PER_DAY  # numpy // floors — matches the SQL twin
+        df = pd.DataFrame({"event_type": et, "day_bucket": day})
+        g = df.groupby(["event_type", "day_bucket"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day_bucket"], {"n": "sum"}).to_pandas()
+    base["lvl"] = np.int64(0)
+    sub = base.groupby("event_type", as_index=False)["n"].sum()
+    sub["day_bucket"] = np.int64(-1)
+    sub["lvl"] = np.int64(1)
+    grand = pd.DataFrame({"event_type": ["ALL"], "day_bucket": [np.int64(-1)],
+                          "n": [base["n"].sum()], "lvl": [np.int64(3)]})
+    cols = ["event_type", "day_bucket", "n", "lvl"]
+    out = pd.concat([base[cols], sub[cols], grand], ignore_index=True)
+    for c in ("day_bucket", "n", "lvl"):
+        out[c] = out[c].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+def rollup_sql() -> str:
+    from s2geometry_ray.pipelines.tpch import _floor_div_day_sql
+
+    day = _floor_div_day_sql("epoch_us(ts)")
+    return f"""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(day_bucket, -1) AS BIGINT) AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day_bucket) AS BIGINT)
+         AS lvl
+FROM (SELECT event_type, {day} AS day_bucket FROM events)
+GROUP BY ROLLUP(event_type, day_bucket)
+"""

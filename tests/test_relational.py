@@ -230,3 +230,35 @@ def test_quantiles_cont_pathological_groups(ray_session):
     assert (g.loc["const"] == 725.0).all()
     assert (g.loc["single"] == 4200.0).all()
     assert g.loc[("two", 50)] == 150.0          # midpoint of 100 and 200
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Rollup levels reconcile: subtotals sum to the grand total, base
+    cells sum to their subtotal, and the whole result matches GROUP BY
+    ROLLUP in DuckDB (incl. a pre-1970 timestamp, which exercises the
+    floor-vs-truncate day bucketing)."""
+    import duckdb
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b", "b", "b"],
+        "ts": pd.to_datetime([0, 86_400, -1, 100, 200], unit="s"),
+    })
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       os.path.join(tmp, "events.parquet"))
+        got = R.rollup_event_day_counts(tmp).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'")
+        want = con.sql(R.rollup_sql()).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    grand = a[a.lvl == 3]["n"].item()
+    subs = a[a.lvl == 1]["n"].sum()
+    base = a[a.lvl == 0]["n"].sum()
+    assert grand == subs == base == len(ev)
+    # the -1s epoch timestamp landed in day -1 (floored), distinct from
+    # the subtotal rows (lvl disambiguates the sentinel collision)
+    assert a[(a.event_type == "b") & (a.lvl == 0) &
+             (a.day_bucket == -1)]["n"].item() == 1
