@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_events": REL.quantiles_cont_events,
         "rollup_event_day_counts": REL.rollup_event_day_counts,
         "io_roundtrip_jsonl": REL.io_roundtrip_jsonl,
+        "io_roundtrip_rcf": REL.io_roundtrip_rcf,
         "distance_join_sites_events": AN.distance_join_sites_events,
         "hll_sketch_events": AN.hll_sketch_events,
         "tfidf_top_terms_docs": AN.tfidf_top_terms,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont_events": REL.QUANTILES_CONT_SQL,
         "rollup_event_day_counts": REL.rollup_sql(),
         "io_roundtrip_jsonl": REL.IO_JSONL_SQL,
+        "io_roundtrip_rcf": REL.IO_RCF_SQL,
         "distinct_event_types": X.DISTINCT_EVENT_TYPES_SQL,
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,

@@ -717,3 +717,36 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM (SELECT event_type, {day} AS day_bucket FROM events)
 GROUP BY ROLLUP(event_type, day_bucket)
 """
+
+
+# ---------------------------------------------------------------------------
+# O2 breadth: parquet → RCF1 (the from-scratch columnar fragment format,
+# sources/rcf.py) → projected read — value-exact roundtrip with COLUMN
+# PRUNING exercised (text is never decoded on the way back).
+# ---------------------------------------------------------------------------
+
+
+def io_roundtrip_rcf(sf_dir: str):
+    """Documents flow parquet → RCF1 fragments (written inside map
+    tasks, content-hash named) → ``read_rcf`` projecting only
+    (doc_id, lang, n_chars); the big text column's payload is skipped
+    at decode.  Value-exact vs the source table."""
+    import shutil
+    import tempfile
+
+    from s2geometry_ray.sources.rcf import read_rcf, write_rcf
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="io_rcf_", dir="/tmp")
+    manifest = write_rcf(docs, tmp)
+    assert manifest.count() > 0
+    out = read_rcf(tmp, columns=["doc_id", "lang", "n_chars"]).materialize()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+IO_RCF_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""

@@ -1,0 +1,167 @@
+"""RCF1 — a from-scratch columnar fragment format + Ray Data IO.
+
+The spec's primary storage (Lance) has no offline wheel in this sandbox
+(README "Known deviations"), so this module demonstrates the same
+architectural role built from first principles: a columnar, fragmented,
+projection-aware table layout the engine reads and writes as Ray Data
+stages.
+
+Format (one fragment file per Ray block):
+
+    magic  b"RCF1"
+    u64    n_rows
+    u32    n_cols
+    per column, in order:
+        u16   name length | name utf8
+        u8    dtype code (0 = int64, 1 = float64, 2 = utf8)
+        u64   payload byte length
+    per column, in order: the payload
+        int64/float64:  n_rows × 8 bytes LE
+        utf8:           (n_rows + 1) × int64 LE offsets, then the data
+
+The header records every payload length, so a reader can SKIP columns
+it was not asked for without touching their bytes — the column-pruning
+contract.  (On object storage the same lengths become byte ranges; in
+this sandbox ``read_binary_files`` delivers whole files and pruning
+saves decode, not IO — documented honestly.)
+
+Writer properties the 100-TB posture needs:
+
+- one fragment per block, written INSIDE the map task — bytes never
+  funnel through the driver;
+- fragment names are content hashes → reruns rewrite byte-identical
+  files in place (idempotent / resumable, the manifests contract);
+- nulls are rejected loudly (the minimal format has no validity
+  bitmap; silently dropping nulls would corrupt dedup keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"RCF1"
+_CODES = {pa.int64(): 0, pa.float64(): 1}
+
+
+def encode_fragment(table: pa.Table) -> bytes:
+    """One Arrow table → one RCF1 fragment (bytes)."""
+    parts: list[bytes] = []
+    header = [_MAGIC, struct.pack("<QI", table.num_rows, table.num_columns)]
+    for name, col in zip(table.column_names, table.columns):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            raise ValueError(f"RCF1: column '{name}' has nulls")
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            code = 2
+            off = np.zeros(len(arr) + 1, dtype=np.int64)
+            data = b""
+            if len(arr):
+                sarr = arr.cast(pa.large_string())
+                off_view = np.frombuffer(sarr.buffers()[1], dtype=np.int64,
+                                         count=len(arr) + 1,
+                                         offset=sarr.offset * 8)
+                off = off_view - off_view[0]
+                buf = sarr.buffers()[2]
+                data = buf.to_pybytes()[off_view[0]: off_view[-1]] if buf \
+                    else b""
+            payload = off.tobytes() + data
+        elif arr.type in _CODES:
+            code = _CODES[arr.type]
+            payload = arr.to_numpy(zero_copy_only=False).tobytes()
+        else:
+            raise TypeError(f"RCF1: unsupported dtype {arr.type} ({name})")
+        nb = name.encode()
+        header.append(struct.pack("<H", len(nb)) + nb
+                      + struct.pack("<BQ", code, len(payload)))
+        parts.append(payload)
+    return b"".join(header) + b"".join(parts)
+
+
+def decode_fragment(buf: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Fragment bytes → Arrow table; ``columns`` prunes the DECODE —
+    unrequested payloads are skipped via the recorded lengths."""
+    if buf[:4] != _MAGIC:
+        raise ValueError("RCF1: bad magic")
+    n_rows, n_cols = struct.unpack_from("<QI", buf, 4)
+    pos = 16
+    meta = []
+    for _ in range(n_cols):
+        (nlen,) = struct.unpack_from("<H", buf, pos)
+        pos += 2
+        name = buf[pos: pos + nlen].decode()
+        pos += nlen
+        code, plen = struct.unpack_from("<BQ", buf, pos)
+        pos += 9
+        meta.append((name, code, plen))
+    cols: dict[str, pa.Array] = {}
+    for name, code, plen in meta:
+        start, pos = pos, pos + plen
+        if columns is not None and name not in columns:
+            continue
+        if code == 2:
+            off = np.frombuffer(buf, dtype=np.int64, count=n_rows + 1,
+                                offset=start)
+            data = buf[start + (n_rows + 1) * 8: start + plen]
+            cols[name] = pa.LargeStringArray.from_buffers(
+                n_rows, pa.py_buffer(off.tobytes()), pa.py_buffer(data),
+            ).cast(pa.string())
+        else:
+            dt = np.int64 if code == 0 else np.float64
+            vals = np.frombuffer(buf, dtype=dt, count=n_rows, offset=start)
+            cols[name] = pa.array(vals)
+    order = [m[0] for m in meta if m[0] in cols]
+    return pa.table({n: cols[n] for n in order})
+
+
+def write_rcf(ds, out_dir: str):
+    """Dataset → RCF1 fragments under ``out_dir`` (one per block, named
+    by content hash).  Returns the materialized manifest Dataset
+    (path, rows) — tiny, one row per fragment."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        blob = encode_fragment(t)
+        name = hashlib.blake2b(blob, digest_size=16).hexdigest()
+        path = os.path.join(out_dir, f"{name}.rcf")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic; rerun rewrites identical bytes
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], type=pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+
+def read_rcf(dir_or_paths, columns: list[str] | None = None):
+    """RCF1 fragments → Dataset, decoding ONLY ``columns``.
+
+    ``read_binary_files`` streams one fragment per row; the decode stage
+    is a normal map_batches task, so fragments decode in parallel and
+    the pruned columns' bytes are never materialized as Arrow."""
+    import ray.data as rd
+
+    if isinstance(dir_or_paths, str):
+        paths = sorted(
+            os.path.join(dir_or_paths, p)
+            for p in os.listdir(dir_or_paths) if p.endswith(".rcf"))
+    else:
+        paths = sorted(dir_or_paths)
+    files = rd.read_binary_files(paths)
+
+    def decode(t: pa.Table) -> pa.Table:
+        frags = [decode_fragment(b.as_py() if hasattr(b, "as_py") else b,
+                                 columns)
+                 for b in t["bytes"]]
+        return pa.concat_tables(frags)
+
+    return files.map_batches(decode, batch_format="pyarrow")

@@ -262,3 +262,31 @@ def test_rollup_levels_consistent(ray_session):
     # the subtotal rows (lvl disambiguates the sentinel collision)
     assert a[(a.event_type == "b") & (a.lvl == 0) &
              (a.day_bucket == -1)]["n"].item() == 1
+
+
+def test_rcf_format_roundtrip_and_projection(ray_session):
+    """RCF1 codec invariants at the Ray surface: write → read is
+    value-exact over strings incl. unicode/empty; a projected read
+    returns only the requested columns; rewriting the same data
+    produces the identical fragment set (content-hash idempotence)."""
+    import ray.data as rd
+
+    from s2geometry_ray.sources import rcf
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": ["", "héllo wörld", "x" * 500, "tab\tnl\n", "ascii",
+                 "émoji ✓", "end"],
+        "score": np.linspace(-1, 1, 7),
+    })
+    ds = rd.from_pandas(df)
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        m1 = sorted(rcf.write_rcf(ds, tmp).to_pandas()["path"])
+        back = rcf.read_rcf(tmp).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[df.columns.tolist()], df)
+        proj = rcf.read_rcf(tmp, columns=["doc_id", "score"]).to_pandas()
+        assert sorted(proj.columns) == ["doc_id", "score"]
+        m2 = sorted(rcf.write_rcf(rd.from_pandas(df), tmp)
+                    .to_pandas()["path"])
+        assert m1 == m2                       # idempotent rewrite
