@@ -502,3 +502,33 @@ def cell_stats_partitioned(sf_dir: str, out_dir: str, level: int = 8,
     if crash_r:
         raise RuntimeError("simulated crash (reduce)")
     return done_r
+
+
+def corpus_curation_partitioned(sf_dir: str, out_dir: str,
+                                fail_after: int | None = None
+                                ) -> dict[str, dict]:
+    """The composed curation pipeline (pipelines/analytics.
+    corpus_curation_docs) with RESUMABLE per-shard output: the survivor
+    (doc_id, shard) keys compute once, then each shard writes through
+    ``write_partition`` — a crashed run re-submits and skips finished
+    shards, reproducing byte-identical output (tests/test_resume.py
+    pattern).
+
+    The pipeline's result is keys only (doc_id + shard — payloads never
+    leave the corpus), so holding it materialized while 8 shard writers
+    slice it is the same bounded footprint the dedup reducers already
+    carry; at cluster scale each shard fn would instead stream
+    ``cur.filter(...)`` straight to its partition file."""
+    from s2geometry_ray.pipelines.analytics import (
+        _CUR_SHARDS,
+        corpus_curation_docs,
+    )
+
+    res = corpus_curation_docs(sf_dir).to_pandas()
+    parts = {}
+    for s in range(_CUR_SHARDS):
+        sub = res[res["shard"] == s].reset_index(drop=True)
+        parts[f"shard{s:02d}"] = (
+            lambda t=sub: pa.Table.from_pandas(t, preserve_index=False))
+    return run_partitioned(out_dir, parts, sort_keys=["doc_id"],
+                           fail_after=fail_after)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 import pyarrow.parquet as pq
 import pytest
@@ -243,3 +244,32 @@ def test_cell_range_manifests(tmp_path, ray_session):
     cell_stats_partitioned(SF, crash_dir, level=8, num_map=4, num_buckets=3)
     assert (_output_bytes(os.path.join(crash_dir, "reduce"))
             == _output_bytes(os.path.join(full_dir, "reduce")))
+
+
+def test_corpus_curation_resume_byte_identical(ray_session):
+    """Curation shard writing crashes after 3 shards; the re-submitted
+    run skips them and the final output is byte-identical (per-shard
+    fingerprints equal) to an uninterrupted run."""
+    import pytest
+
+    from s2geometry_ray.state.manifests import (
+        corpus_curation_partitioned,
+        finished_partitions,
+        read_output,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        a = os.path.join(tmp, "crashy")
+        b = os.path.join(tmp, "clean")
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            corpus_curation_partitioned(sf, a, fail_after=3)
+        assert len(finished_partitions(a)) == 3
+        done_a = corpus_curation_partitioned(sf, a)      # resume
+        done_b = corpus_curation_partitioned(sf, b)      # fresh
+        assert {k: m["fingerprint"] for k, m in done_a.items()} \
+            == {k: m["fingerprint"] for k, m in done_b.items()}
+        ta = read_output(a)
+        tb = read_output(b)
+        assert ta.equals(tb)
+        assert ta.num_rows > 0
