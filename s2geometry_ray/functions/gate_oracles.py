@@ -427,13 +427,14 @@ FROM pairs
 """
 
 
-def neardup_jaccard_docs_sql(tau: float = 0.5, **kw) -> str:
-    """LSH candidates (twin above) verified by EXACT shingle-set Jaccard,
-    replicating the engine's float path: jac = i/u and jac·10⁴ are the
-    same IEEE-754 double ops on both engines, and the final np.rint
-    half-to-EVEN is spelled out (DuckDB round() is half-away-from-zero,
-    which differs exactly at .5 fractions)."""
-    return minhash_ctes(**kw) + f"""
+def jaccard_verify_ctes() -> str:
+    """CTE fragment (appended after ``minhash_ctes``) computing the
+    exact shingle-set Jaccard of every candidate pair: ends in
+    ``jv(key_a, key_b, v, jac)`` with v = jac·10⁴.  Shared by the
+    near-dup gate twin below and the composed corpus-curation twin
+    (pipelines/analytics.corpus_curation_sql) so the verify math can
+    never diverge between them."""
+    return """
 , sizes AS (SELECT k, count(*) AS c FROM sh GROUP BY k),
 inter AS (
   SELECT p.key_a, p.key_b, count(*) AS i
@@ -452,7 +453,16 @@ jv AS (
   SELECT key_a, key_b,
          (CAST(i AS DOUBLE) / CAST(u AS DOUBLE)) * 10000 AS v,
          CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jac
-  FROM iu)
+  FROM iu)"""
+
+
+def neardup_jaccard_docs_sql(tau: float = 0.5, **kw) -> str:
+    """LSH candidates (twin above) verified by EXACT shingle-set Jaccard,
+    replicating the engine's float path: jac = i/u and jac·10⁴ are the
+    same IEEE-754 double ops on both engines, and the final np.rint
+    half-to-EVEN is spelled out (DuckDB round() is half-away-from-zero,
+    which differs exactly at .5 fractions)."""
+    return minhash_ctes(**kw) + jaccard_verify_ctes() + f"""
 SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b,
        CAST(floor(v) AS BIGINT)
        + CASE WHEN v - floor(v) > 0.5 THEN 1

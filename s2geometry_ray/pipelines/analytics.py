@@ -307,7 +307,10 @@ def tfidf_top_terms(sf_dir: str, topn: int = _TFIDF_TOPN):
         fp = fingerprint_batch(
             pa.table({"term": pa.array(tf["term"], type=pa.string())}),
             "term")["fp64"].to_numpy(zero_copy_only=False)
-        tf["part"] = fp.view(np.uint64) % np.uint64(p_term)
+        # int64 shuffle key (uint64 group keys hit Ray's Python-int
+        # overflow fallback — the documented pitfall)
+        tf["part"] = (fp.view(np.uint64)
+                      % np.uint64(p_term)).astype(np.int64)
         return pa.Table.from_pandas(tf, preserve_index=False)
 
     def with_df(g: pd.DataFrame) -> pd.DataFrame:
@@ -658,11 +661,15 @@ def bloom_join_urgent_revenue(sf_dir: str, prune: bool = True):
     )
     from s2geometry_ray.stages.tile_assign import combine_partials
 
+    # materialize the (tiny: keys + priority of ~20% of orders) build
+    # side: build_bloom drains it once and the join consumes it again —
+    # without this the lazy scan+filter would re-execute (the measured
+    # lazy-re-execution pitfall)
     urgent = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"]) \
         .map_batches(
             lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
-            batch_format="pyarrow", batch_size=None)
+            batch_format="pyarrow", batch_size=None).materialize()
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -817,8 +824,8 @@ def corpus_curation_docs(sf_dir: str):
     def add_fp(t: pa.Table) -> pa.Table:
         out = fingerprint_batch(t, "text")
         fp = out["fp64"].to_numpy(zero_copy_only=False)
-        return out.append_column(
-            "part", pa.array(fp.view(np.uint64) % np.uint64(num_parts)))
+        part = (fp.view(np.uint64) % np.uint64(num_parts)).astype(np.int64)
+        return out.append_column("part", pa.array(part))
 
     def reps(g: pd.DataFrame) -> pd.DataFrame:
         rep = g.groupby("fp64")["doc_id"].transform("min")
@@ -856,7 +863,10 @@ def corpus_curation_sql() -> str:
     """The composed twin: quality/window CTEs + the minhash_ctes chain
     (retargeted at the survivor CTE) + the Jaccard verify chain + the
     recursive-CTE components oracle + the splitmix shard key."""
-    from s2geometry_ray.functions.gate_oracles import minhash_ctes
+    from s2geometry_ray.functions.gate_oracles import (
+        jaccard_verify_ctes,
+        minhash_ctes,
+    )
     from s2geometry_ray.functions.shuffle import (
         _seed_mix,
         sql_splitmix64,
@@ -865,9 +875,7 @@ def corpus_curation_sql() -> str:
     mc = minhash_ctes(table="s1").lstrip()
     assert mc.startswith("WITH"), "minhash_ctes contract changed"
     sm = _seed_mix(_CUR_SEED)
-    wrapped = (f"CAST(((CAST(doc_id AS HUGEINT) % 18446744073709551616)"
-               f" + 18446744073709551616) % 18446744073709551616"
-               f" AS UBIGINT)")
+    wrapped = _sql_wrap_u64("doc_id")
     shard = (f"CAST({sql_splitmix64(f'xor({wrapped}, {sm})')}"
              f" % {_CUR_SHARDS} AS BIGINT)")
     prefix = f"""WITH RECURSIVE

@@ -120,8 +120,20 @@ def decode_fragment(buf: bytes, columns: list[str] | None = None) -> pa.Table:
 
 def write_rcf(ds, out_dir: str):
     """Dataset → RCF1 fragments under ``out_dir`` (one per block, named
-    by content hash).  Returns the materialized manifest Dataset
-    (path, rows) — tiny, one row per fragment."""
+    by content hash) plus an atomic ``_manifest.json`` recording every
+    logical block (path, rows) WITH multiplicity.
+
+    Content addressing doubles as storage-level dedup: two
+    byte-identical blocks share one fragment file, and the manifest
+    carries the copy count — without it a read would silently lose the
+    duplicate rows (review finding, pinned in tests).  The manifest is
+    also what makes reads immune to STALE fragments left by an earlier
+    run with different block boundaries: ``read_rcf`` reads the
+    manifest, not the directory listing.
+
+    Returns the materialized per-block manifest Dataset (path, rows)."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
@@ -138,30 +150,59 @@ def write_rcf(ds, out_dir: str):
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([t.num_rows], type=pa.int64())})
 
-    return ds.map_batches(write_block, batch_format="pyarrow",
-                          batch_size=None).materialize()
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    # driver-side finalize: the manifest is one tiny row per block
+    entries = sorted(
+        (r["path"], int(r["rows"]))
+        for b in manifest.iter_batches(batch_format="pandas")
+        for r in b.to_dict("records"))
+    mpath = os.path.join(out_dir, "_manifest.json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump([{"path": p, "rows": n} for p, n in entries], fh)
+    os.replace(mpath + ".tmp", mpath)
+    return manifest
 
 
 def read_rcf(dir_or_paths, columns: list[str] | None = None):
     """RCF1 fragments → Dataset, decoding ONLY ``columns``.
 
+    A directory is read through its ``_manifest.json``: only fragments
+    the last completed write listed are read (stale files from earlier
+    runs with different block boundaries are ignored), and a fragment
+    listed N times — N byte-identical source blocks deduplicated into
+    one file — is replicated back to N logical copies at decode.
+
     ``read_binary_files`` streams one fragment per row; the decode stage
-    is a normal map_batches task, so fragments decode in parallel and
-    the pruned columns' bytes are never materialized as Arrow."""
+    is a normal map_batches task (one fragment per batch — a fragment
+    is already a block's worth of rows), so fragments decode in
+    parallel and the pruned columns' bytes are never materialized."""
+    import json
+
     import ray.data as rd
 
+    copies: dict[str, int] = {}
     if isinstance(dir_or_paths, str):
-        paths = sorted(
-            os.path.join(dir_or_paths, p)
-            for p in os.listdir(dir_or_paths) if p.endswith(".rcf"))
+        mpath = os.path.join(dir_or_paths, "_manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                for e in json.load(fh):
+                    copies[e["path"]] = copies.get(e["path"], 0) + 1
+            paths = sorted(copies)
+        else:  # bare fragment directory (no completed write)
+            paths = sorted(
+                os.path.join(dir_or_paths, p)
+                for p in os.listdir(dir_or_paths) if p.endswith(".rcf"))
     else:
         paths = sorted(dir_or_paths)
-    files = rd.read_binary_files(paths)
+    files = rd.read_binary_files(paths, include_paths=True)
 
     def decode(t: pa.Table) -> pa.Table:
-        frags = [decode_fragment(b.as_py() if hasattr(b, "as_py") else b,
-                                 columns)
-                 for b in t["bytes"]]
+        frags = []
+        for path, b in zip(t["path"].to_pylist(), t["bytes"]):
+            frag = decode_fragment(b.as_py() if hasattr(b, "as_py") else b,
+                                   columns)
+            frags.extend([frag] * copies.get(path, 1))
         return pa.concat_tables(frags)
 
-    return files.map_batches(decode, batch_format="pyarrow")
+    return files.map_batches(decode, batch_format="pyarrow", batch_size=1)

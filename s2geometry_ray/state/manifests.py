@@ -524,6 +524,11 @@ def corpus_curation_partitioned(sf_dir: str, out_dir: str,
         corpus_curation_docs,
     )
 
+    names = [f"shard{s:02d}" for s in range(_CUR_SHARDS)]
+    done = finished_partitions(out_dir)
+    if all(n in done for n in names):
+        # fully-finished run: skip the (expensive) pipeline recompute
+        return done
     res = corpus_curation_docs(sf_dir).to_pandas()
     parts = {}
     for s in range(_CUR_SHARDS):

@@ -290,3 +290,27 @@ def test_rcf_format_roundtrip_and_projection(ray_session):
         m2 = sorted(rcf.write_rcf(rd.from_pandas(df), tmp)
                     .to_pandas()["path"])
         assert m1 == m2                       # idempotent rewrite
+
+
+def test_rcf_manifest_multiplicity_and_staleness(ray_session):
+    """Two byte-identical blocks content-address to ONE fragment file;
+    the manifest's copy count restores both logical blocks on read.
+    And a read goes through the manifest, not the directory listing:
+    stale fragments from an earlier differently-blocked run are
+    ignored."""
+    import ray.data as rd
+
+    from s2geometry_ray.sources import rcf
+
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": ["a", "b", "c"]})
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        # stale fragment: an earlier run wrote OTHER data here
+        rcf.write_rcf(rd.from_pandas(
+            pd.DataFrame({"doc_id": np.array([99], dtype=np.int64),
+                          "text": ["stale"]})), tmp)
+        m = rcf.write_rcf(rd.from_pandas([df, df.copy()]), tmp).to_pandas()
+        assert len(m) == 2 and m["path"].nunique() == 1  # deduped file
+        back = rcf.read_rcf(tmp).to_pandas()
+        assert len(back) == 6                 # multiplicity restored
+        assert 99 not in set(back["doc_id"])  # stale fragment ignored
