@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
+    from s2geometry_ray.pipelines import packing as PK
     from s2geometry_ray.pipelines import relational as REL
 
     return {
@@ -382,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_urgent_revenue": AN.bloom_join_urgent_revenue,
         "json_field_stats_events": AN.json_field_stats_events,
         "corpus_curation_docs": AN.corpus_curation_docs,
+        "semantic_dedup_embeddings": AN.semantic_dedup_embeddings,
+        "pack_sequences_docs": PK.pack_sequences_docs,
+        "chunk_docs": PK.chunk_docs,
     }
 
 
@@ -392,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_ray.functions import gate_oracles as G
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
+    from s2geometry_ray.pipelines import packing as PK
     from s2geometry_ray.pipelines import relational as REL
 
     return {
@@ -407,6 +412,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_urgent_revenue": AN.BLOOM_JOIN_SQL,
         "json_field_stats_events": AN.JSON_FIELD_SQL,
         "corpus_curation_docs": AN.corpus_curation_sql(),
+        "semantic_dedup_embeddings": AN.SEMANTIC_DEDUP_SQL,
+        "pack_sequences_docs": PK.PACK_SEQUENCES_SQL,
+        "chunk_docs": PK.CHUNK_DOCS_SQL,
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

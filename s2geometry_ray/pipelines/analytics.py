@@ -916,3 +916,71 @@ rep2 AS (SELECT node AS doc_id, MIN(lbl) AS rep FROM reach GROUP BY node)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {shard} AS shard
 FROM rep2 WHERE rep = doc_id
 """
+
+
+# --- O38: semantic dedup over embeddings (SemDeDup-shaped) ------------
+
+_SEMDEDUP_TAU = 0.9
+
+
+def semantic_dedup_embeddings(sf_dir: str, tau: float = _SEMDEDUP_TAU):
+    """Semantic (embedding-space) dedup clustering, SemDeDup-shaped:
+    cosine-≥τ near-duplicate pairs from the bucketed LSH-style operator
+    feed the distributed connected-components labeller → one row per
+    vector with its cluster representative (min vec_id).  ``rep ==
+    vec_id`` rows are the dedup survivors.
+
+    The natural embeddings table has no pairs above ~0.52 cosine, so —
+    like the cosine_neardup gate — exact duplicates of every 10th
+    vector are planted (vec_id + 1_000_000), making the expected
+    clustering fully determined and the DuckDB twin exact (brute-force
+    cosine cross-join + recursive-CTE reachability).
+
+    Scale: pair generation is the √N-bucketed multi-probe operator
+    (never all-pairs), components shuffle int labels only; nothing here
+    is quadratic in the corpus."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.functions.ann import cosine_neardup_pairs
+    from s2geometry_ray.functions.dedup import connected_components
+
+    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 10 == 0))
+        return keep.set_column(
+            keep.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(keep["vec_id"].to_numpy(zero_copy_only=False)
+                     + 1_000_000))
+
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    n_all = n + (n + 9) // 10
+    pairs = cosine_neardup_pairs(ds, tau=tau, n_rows_hint=n_all)
+    return connected_components(pairs, ds.select_columns(["vec_id"]),
+                                key_col="vec_id", n_nodes_hint=n_all)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE
+all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+edges AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        >= {_SEMDEDUP_TAU}),
+sym AS (SELECT key_a AS u, key_b AS v FROM edges
+        UNION ALL SELECT key_b, key_a FROM edges),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM all_vecs
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(MIN(lbl) AS BIGINT) AS rep
+FROM reach GROUP BY node
+"""

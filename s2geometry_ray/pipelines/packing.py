@@ -1,0 +1,257 @@
+"""Training-sequence assembly over the documents table: concat-and-chop
+sequence PACKING (GPT-style pretraining batches) and overlapping-window
+CHUNKING (RAG-style retrieval units).
+
+Both operators reason in TOKEN OFFSETS (the shared ``TOKEN_PATTERN``
+whitespace tokenizer, so the DuckDB twins count the identical pieces)
+and never ship document text through a shuffle — packing shuffles an
+int-only (doc_id, n_tokens, pid) table, chunking is a stateless
+per-batch explode.
+
+Packing is the interesting one at scale: the pack id of a document
+depends on the total token count of every document before it — a global
+prefix sum.  The distributed form here is the classic two-phase scan:
+
+  1. key-range partition by doc_id (pid = doc_id // span) — packing
+     needs CONTIGUOUS ranges co-located, so a hash partition is the
+     wrong tool; the assumption (documented per SURVEY §3.6) is
+     roughly-uniform doc_id density, true for sequential ingest ids;
+  2. per-partition token totals via map-side partials (each batch emits
+     ≤ #pids rows; the materialized partial table is tiny) → driver
+     exclusive prefix over ≤1024 pids;
+  3. one int-only hash shuffle co-locates each pid, where a vectorized
+     local cumsum + the broadcast base offset places every document,
+     and boundary-straddling docs explode into per-pack pieces with
+     ``np.repeat`` / ``arange`` (no Python row loop).
+
+At 100 TB the only all-to-all moves ~24 B/doc and the driver holds one
+row per partition — the text column never leaves the (pruned-away)
+source files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from s2geometry_ray.functions.text import TOKEN_PATTERN
+
+_PACK_BUDGET = 512    # tokens per packed training sequence
+_CHUNK_SIZE = 64      # tokens per retrieval chunk
+_CHUNK_OVERLAP = 16
+
+
+class _TokenCount:
+    """(doc_id, text) → (doc_id, n_tokens): the regex compiles once per
+    actor; counting is the vectorized pandas str.count kernel."""
+
+    def __init__(self):
+        import re
+
+        self.token_re = re.compile(TOKEN_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_tokens": batch["text"].astype(str)
+            .str.count(self.token_re).astype("int64"),
+        })
+
+
+def _token_counts(sf_dir: str, span: int):
+    """Materialized (doc_id, n_tokens, pid) — int-only, ~2 % of the
+    text bytes, reused by both prefix phases so the tokenizer runs
+    exactly once per document."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pid", pa.array((did // span).astype(np.int64)))
+
+    return ds.map_batches(_TokenCount, concurrency=(1, 8),
+                          batch_format="pandas") \
+             .map_batches(add_pid, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+
+def _base_offsets(counts) -> dict[int, int]:
+    """Exclusive prefix of per-pid token totals.  Map-side partials
+    (≤ #pids rows per batch) → tiny materialized table → driver scan;
+    no groupby shuffle for what is a ≤1024-row reduction."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pid": t["pid"].to_numpy(zero_copy_only=False),
+            "tok": t["n_tokens"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("pid", as_index=False)["tok"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = counts.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    totals = parts.groupby("pid")["tok"].sum().sort_index()
+    return dict(zip(totals.index.astype(int),
+                    np.concatenate([[0], np.cumsum(totals.values)[:-1]])
+                    .astype(int)))
+
+
+def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
+                        span: int | None = None):
+    """Concat-and-chop sequence packing: documents are concatenated in
+    doc_id order and cut into ``budget``-token packs; a document
+    straddling a cut belongs to every pack it touches.  Output is one
+    row per (document × pack) piece:
+
+      (doc_id, pack_id, begin_tok = offset of the piece inside its
+       pack, n_tok = piece length) — empty documents emit nothing.
+
+    DuckDB twin: window cumsum + generate_series (PACK_SEQUENCES_SQL).
+    """
+    from s2geometry_ray.scale import derive_num_parts
+
+    if span is None:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        span = max(1, n_docs
+                   // derive_num_parts(n_docs, rows_per_part=100_000))
+
+    counts = _token_counts(sf_dir, span)
+    base = _base_offsets(counts)  # ≤1024 entries — cheap in the closure
+
+    def emit_pieces(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        did = g["doc_id"].to_numpy()[order]
+        nt = g["n_tokens"].to_numpy()[order]
+        s = int(base[int(g["pid"].iat[0])]) \
+            + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        nz = nt > 0
+        did, nt, s = did[nz], nt[nz], s[nz]
+        p0, p1 = s // budget, (s + nt - 1) // budget
+        reps = (p1 - p0 + 1).astype(np.int64)
+        tot = int(reps.sum())
+        if tot == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in ("doc_id", "pack_id",
+                                           "begin_tok", "n_tok")})
+        # within-doc piece index j via the repeat/arange explode
+        j = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        pack = np.repeat(p0, reps) + j
+        lo = np.maximum(np.repeat(s, reps), pack * budget)
+        hi = np.minimum(np.repeat(s + nt, reps), (pack + 1) * budget)
+        return pd.DataFrame({
+            "doc_id": np.repeat(did, reps),
+            "pack_id": pack,
+            "begin_tok": lo - pack * budget,
+            "n_tok": hi - lo,
+        })
+
+    return counts.groupby("pid").map_groups(emit_pieces,
+                                            batch_format="pandas")
+
+
+def pack_sequences_sql(budget: int = _PACK_BUDGET,
+                       table: str = "documents") -> str:
+    """Twin of ``pack_sequences_docs``: the token pattern is
+    interpolated from the shared constant; all offsets are non-negative
+    so DuckDB's truncating ``//`` equals the engine's floor ``//``."""
+    tok = TOKEN_PATTERN.replace("'", "''")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{tok}')) AS BIGINT) AS nt
+  FROM {table}),
+cum AS (
+  SELECT doc_id, nt,
+         CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM toks),
+pieces AS (
+  SELECT doc_id, s, nt,
+         unnest(generate_series(s // {budget}, (s + nt - 1) // {budget}))
+           AS pack_id
+  FROM cum WHERE nt > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(s, pack_id * {budget}) - pack_id * {budget}
+            AS BIGINT) AS begin_tok,
+       CAST(LEAST(s + nt, (pack_id + 1) * {budget})
+            - GREATEST(s, pack_id * {budget}) AS BIGINT) AS n_tok
+FROM pieces
+"""
+
+
+PACK_SEQUENCES_SQL = pack_sequences_sql()
+
+
+def chunk_docs(sf_dir: str, size: int = _CHUNK_SIZE,
+               overlap: int = _CHUNK_OVERLAP):
+    """Overlapping-window chunking: each document yields windows of
+    ``size`` tokens advancing by ``size - overlap``; the last window is
+    clipped to the document end, and every document (even an empty one)
+    yields at least one chunk so no doc silently disappears from a
+    retrieval index.  Output: (doc_id, chunk_id, begin_tok, end_tok).
+
+    Stateless per-batch explode — no shuffle at any scale."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+
+    counts = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(_TokenCount, concurrency=(1, 8), batch_format="pandas")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy()
+        nt = b["n_tokens"].to_numpy()
+        nch = np.where(nt <= size, 1,
+                       (nt - size + stride - 1) // stride + 1).astype(np.int64)
+        tot = int(nch.sum())
+        j = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.concatenate([[0], np.cumsum(nch)[:-1]]), nch)
+        begin = j * stride
+        end = np.minimum(begin + size, np.repeat(nt, nch))
+        return pd.DataFrame({
+            "doc_id": np.repeat(did, nch),
+            "chunk_id": j,
+            "begin_tok": begin,
+            "end_tok": end,
+        })
+
+    return counts.map_batches(explode, batch_format="pandas",
+                              batch_size=None)
+
+
+def chunk_docs_sql(size: int = _CHUNK_SIZE, overlap: int = _CHUNK_OVERLAP,
+                   table: str = "documents") -> str:
+    tok = TOKEN_PATTERN.replace("'", "''")
+    stride = size - overlap
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{tok}')) AS BIGINT) AS nt
+  FROM {table}),
+n AS (
+  SELECT doc_id, nt,
+         CASE WHEN nt <= {size} THEN 1
+              ELSE (nt - {size} + {stride} - 1) // {stride} + 1
+         END AS nch
+  FROM toks),
+ch AS (
+  SELECT doc_id, nt,
+         unnest(generate_series(0, nch - 1)) AS chunk_id
+  FROM n)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {stride} AS BIGINT) AS begin_tok,
+       CAST(LEAST(chunk_id * {stride} + {size}, nt) AS BIGINT) AS end_tok
+FROM ch
+"""
+
+
+CHUNK_DOCS_SQL = chunk_docs_sql()

@@ -1,0 +1,122 @@
+"""Sequence packing / chunking / semantic dedup (pipelines/packing.py,
+analytics O38): partition-count invariance of the distributed prefix
+sum, packing invariants vs a scalar reference, chunk windows vs a brute
+per-doc loop, and the planted-duplicate clustering contract."""
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def doc_tokens():
+    import re
+
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.functions.text import TOKEN_PATTERN
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    rx = re.compile(TOKEN_PATTERN)
+    df["nt"] = [len(rx.findall(s)) for s in df["text"].astype(str)]
+    return df
+
+
+def test_pack_span_invariance(ray_session):
+    """The piece table must be IDENTICAL whatever the key-range width —
+    span=7 forces ~72 partitions through the two-phase prefix sum,
+    span=10_000 collapses to one; both must equal the metadata-derived
+    default."""
+    from s2geometry_ray.pipelines.packing import pack_sequences_docs
+
+    a = _sorted(pack_sequences_docs(SF, budget=64, span=7).to_pandas())
+    b = _sorted(pack_sequences_docs(SF, budget=64, span=10_000).to_pandas())
+    c = _sorted(pack_sequences_docs(SF, budget=64).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_pack_invariants_vs_scalar_reference(ray_session, doc_tokens):
+    """Concat-and-chop reference computed with a plain Python loop over
+    the doc_id-ordered token counts must reproduce the distributed
+    result exactly; plus structural invariants (pack fill, piece
+    bounds)."""
+    from s2geometry_ray.pipelines.packing import pack_sequences_docs
+
+    budget = 128
+    got = _sorted(pack_sequences_docs(SF, budget=budget, span=13)
+                  .to_pandas())
+
+    rows, off = [], 0
+    for did, nt in zip(doc_tokens["doc_id"], doc_tokens["nt"]):
+        if nt == 0:
+            continue
+        for p in range(off // budget, (off + nt - 1) // budget + 1):
+            lo = max(off, p * budget)
+            hi = min(off + nt, (p + 1) * budget)
+            rows.append((did, p, lo - p * budget, hi - lo))
+        off += nt
+    ref = _sorted(pd.DataFrame(
+        rows, columns=["doc_id", "pack_id", "begin_tok", "n_tok"]))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), ref.astype("int64"))
+
+    # structural: every pack but the last is exactly full; pieces stay
+    # inside their pack
+    fill = got.groupby("pack_id")["n_tok"].sum()
+    assert (fill.iloc[:-1] == budget).all() and 0 < fill.iloc[-1] <= budget
+    assert ((got["begin_tok"] >= 0)
+            & (got["begin_tok"] + got["n_tok"] <= budget)).all()
+    assert (got["n_tok"] > 0).all()
+    # per-doc pieces reassemble the doc
+    per_doc = got.groupby("doc_id")["n_tok"].sum()
+    nz = doc_tokens[doc_tokens["nt"] > 0].set_index("doc_id")["nt"]
+    assert per_doc.sort_index().equals(nz.sort_index().astype("int64"))
+
+
+def test_chunk_docs_vs_brute(ray_session, doc_tokens):
+    from s2geometry_ray.pipelines.packing import chunk_docs
+
+    size, overlap = 48, 12
+    got = _sorted(chunk_docs(SF, size=size, overlap=overlap).to_pandas())
+
+    stride = size - overlap
+    rows = []
+    for did, nt in zip(doc_tokens["doc_id"], doc_tokens["nt"]):
+        n = 1 if nt <= size else -(-(nt - size) // stride) + 1
+        for j in range(n):
+            rows.append((did, j, j * stride, min(j * stride + size, nt)))
+    ref = _sorted(pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "begin_tok", "end_tok"]))
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+    # every doc appears (even empty ones yield one [0,0) chunk)
+    assert set(got["doc_id"]) == set(doc_tokens["doc_id"])
+
+
+def test_chunk_docs_rejects_bad_overlap(ray_session):
+    from s2geometry_ray.pipelines.packing import chunk_docs
+
+    with pytest.raises(ValueError):
+        chunk_docs(SF, size=16, overlap=16)
+
+
+def test_semantic_dedup_planted_contract(ray_session):
+    """Every planted duplicate (vec_id ≥ 1e6) must cluster to its
+    source vector; every natural vector is its own representative."""
+    from s2geometry_ray.pipelines.analytics import semantic_dedup_embeddings
+
+    out = semantic_dedup_embeddings(SF).to_pandas()
+    planted = out[out["vec_id"] >= 1_000_000]
+    natural = out[out["vec_id"] < 1_000_000]
+    assert len(planted) > 0
+    assert (planted["rep"] == planted["vec_id"] - 1_000_000).all()
+    assert (natural["rep"] == natural["vec_id"]).all()
+    # survivors = natural rows only
+    assert (out["rep"] == out["vec_id"]).sum() == len(natural)
