@@ -312,6 +312,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = cosine_neardup_pairs(ds, tau=0.9, n_rows_hint=n + (n + 9) // 10)
         return out.select_columns(["key_a", "key_b"])
 
+
+    def normalize_text_docs(sf):
+        """ASCII-lower + whitespace-collapse + trim normalization
+        (curation pre-pass); the twin runs the IDENTICAL translate /
+        regexp_replace / trim chain."""
+        from s2geometry_ray.functions.text import NormalizeText
+
+        out = _docs(sf).map_batches(NormalizeText, batch_format="pandas",
+                                    concurrency=2)
+        return out.select_columns(["doc_id", "norm_text"])
+
+    def cap_per_source_docs(sf):
+        """Domain capping: at most 10 docs per source, the k survivors
+        chosen by the seeded content-hash order (bit-exact splitmix64
+        twin with a row_number QUALIFY)."""
+        import ray.data as rd
+
+        from s2geometry_ray.functions.shuffle import cap_per_group
+
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "source"])
+        return cap_per_group(ds, "source", k=10, key_col="doc_id", seed=3)
+
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import packing as PK
@@ -386,6 +409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": AN.semantic_dedup_embeddings,
         "pack_sequences_docs": PK.pack_sequences_docs,
         "chunk_docs": PK.chunk_docs,
+        "normalize_text_docs": normalize_text_docs,
+        "cap_per_source_docs": cap_per_source_docs,
+        "bigram_top_terms_docs": AN.bigram_top_terms,
     }
 
 
@@ -394,6 +420,29 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_ray.pipelines import tpch as T
 
     from s2geometry_ray.functions import gate_oracles as G
+
+    def normalize_text_docs(sf):
+        """ASCII-lower + whitespace-collapse + trim normalization
+        (curation pre-pass); the twin runs the IDENTICAL translate /
+        regexp_replace / trim chain."""
+        from s2geometry_ray.functions.text import NormalizeText
+
+        out = _docs(sf).map_batches(NormalizeText, batch_format="pandas",
+                                    concurrency=2)
+        return out.select_columns(["doc_id", "norm_text"])
+
+    def cap_per_source_docs(sf):
+        """Domain capping: at most 10 docs per source, the k survivors
+        chosen by the seeded content-hash order (bit-exact splitmix64
+        twin with a row_number QUALIFY)."""
+        import ray.data as rd
+
+        from s2geometry_ray.functions.shuffle import cap_per_group
+
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "source"])
+        return cap_per_group(ds, "source", k=10, key_col="doc_id", seed=3)
+
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import packing as PK
@@ -415,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": AN.SEMANTIC_DEDUP_SQL,
         "pack_sequences_docs": PK.PACK_SEQUENCES_SQL,
         "chunk_docs": PK.CHUNK_DOCS_SQL,
+        "normalize_text_docs": __import__(
+            "s2geometry_ray.functions.text",
+            fromlist=["normalize_text_sql"]).normalize_text_sql(),
+        "cap_per_source_docs": __import__(
+            "s2geometry_ray.functions.shuffle",
+            fromlist=["cap_per_group_sql"]).cap_per_group_sql(
+                "source", 10, key_col="doc_id", seed=3),
+        "bigram_top_terms_docs": AN.bigram_top_terms_sql(),
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

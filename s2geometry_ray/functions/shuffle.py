@@ -141,3 +141,85 @@ SELECT CAST({key_col} AS BIGINT) AS {key_col}, {stratum_col}{extra_cols}
 FROM (SELECT {key_col}, {stratum_col}{extra_cols}, {h} AS h FROM {table})
 WHERE h <= {thr}
 """
+
+
+# ---------------------------------------------------------------------------
+# O42: deterministic per-group cap (domain capping)
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(ds, group_col: str, k: int, key_col: str = "doc_id",
+                  seed: int = 0, num_parts: int | None = None,
+                  n_rows_hint=None):
+    """Keep at most ``k`` rows per group — the web-corpus domain-capping
+    primitive (bound any one source/domain's share of the training
+    mix).  WHICH k rows survive is content-hash deterministic: the k
+    smallest (splitmix64(key ⊕ mix(seed)), key) per group — a seeded
+    uniform draw that replays identically on any cluster layout, with
+    the key tie-break making hash collisions harmless.
+
+    Scale: one hash shuffle on the GROUP key co-locates each group
+    (assumption, SURVEY §3.6 policy: a single group's rows fit one
+    partition — sources/domains are bounded; the partition count
+    derives from the row count); ranking is one lexsort per partition.
+    """
+    import pandas as pd
+
+    from s2geometry_ray.scale import dataset_count_hint, derive_num_parts
+
+    if num_parts is None:
+        if n_rows_hint is None:
+            n_rows_hint = dataset_count_hint(ds)
+        num_parts = derive_num_parts(n_rows_hint, rows_per_part=100_000)
+
+    sm = np.uint64(_seed_mix(seed))
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        from s2geometry_ray.functions.text import fingerprint_batch
+
+        kk = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(kk ^ sm)
+        # int64 bit-views for the shuffle (the documented uint64 pitfall)
+        t = t.append_column("h64", pa.array(h.view(np.int64)))
+        # stable group→part: word-packed fingerprint of the group string
+        gid = pa.compute.cast(t[group_col], pa.string())
+        fp = fingerprint_batch(pa.table({"text": gid}), "text")["fp64"] \
+            .to_numpy(zero_copy_only=False)
+        part = (fp.view(np.uint64) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h64"].to_numpy().view(np.uint64)
+        key = g[key_col].to_numpy()
+        grp = g[group_col].to_numpy().astype(str)
+        order = np.lexsort((key, h, grp))
+        grp_o = grp[order]
+        new = np.ones(len(grp_o), dtype=bool)
+        new[1:] = grp_o[1:] != grp_o[:-1]
+        # rank within group along the sorted order
+        idx = np.arange(len(grp_o))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start
+        keep = order[rank < k]
+        return g.iloc[np.sort(keep)].drop(columns=["h64", "part"])
+
+    return ds.map_batches(add_keys, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("part").map_groups(cap, batch_format="pandas")
+
+
+def cap_per_group_sql(group_col: str, k: int, key_col: str = "doc_id",
+                      seed: int = 0, table: str = "documents",
+                      cols: str = "") -> str:
+    """DuckDB twin: row_number over (group ORDER BY bit-exact splitmix
+    hash, key) ≤ k."""
+    sm = _seed_mix(seed)
+    wrapped = (f"CAST(((CAST({key_col} AS HUGEINT) % 18446744073709551616)"
+               f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+    h = sql_splitmix64(f"xor({wrapped}, {sm})")
+    return f"""
+SELECT CAST({key_col} AS BIGINT) AS {key_col}, {group_col}{cols}
+FROM {table}
+QUALIFY row_number() OVER (PARTITION BY {group_col}
+                           ORDER BY {h}, {key_col}) <= {k}
+"""

@@ -271,3 +271,46 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # int64 bit-view: fp64 is a groupby key and Ray aggregates hash int64
     # natively but mis-handle uint64 (overflow fallback path)
     return batch.append_column("fp64", pa.array(out.view(np.int64), type=pa.int64()))
+
+
+# --- O41: text normalization (curation pre-pass) ----------------------
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_WS_CHARS = " \t\n\r\f\v"
+
+
+class NormalizeText:
+    """Canonical text normalization: ASCII-only lowercasing (an
+    explicit A–Z→a–z translate on BOTH engines — unicode lower() rules
+    differ between Python and DuckDB's ICU on Turkish İ / German ß, so
+    the unicode kernel would silently diverge), whitespace-run collapse
+    to a single space, and edge trim.  Adds ``norm_text``; stateless
+    vectorized batch transform, no shuffle."""
+
+    def __init__(self):
+        import re
+
+        self.ws_re = re.compile(f"[{_WS_CHARS}]+")
+        self.lower_map = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["norm_text"] = (batch["text"].astype(str)
+                              .str.translate(self.lower_map)
+                              .str.replace(self.ws_re, " ", regex=True)
+                              .str.strip(" "))
+        return batch
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    """DuckDB twin of NormalizeText (translate + regexp_replace + trim,
+    all from the shared constants)."""
+    ws = "[ \\t\\n\\r\\f\\v]+"
+    return rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       trim(regexp_replace(
+              translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}'),
+              '{ws}', ' ', 'g'), ' ') AS norm_text
+FROM {table}
+"""

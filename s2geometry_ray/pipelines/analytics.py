@@ -984,3 +984,89 @@ reach(node, lbl) AS (
 SELECT CAST(node AS BIGINT) AS vec_id, CAST(MIN(lbl) AS BIGINT) AS rep
 FROM reach GROUP BY node
 """
+
+
+# --- O43: corpus bigram top terms --------------------------------------
+
+_BIGRAM_TOPN = 100
+
+
+def bigram_top_terms(sf_dir: str, topn: int = _BIGRAM_TOPN):
+    """Corpus-level bigram frequencies, top ``topn`` by (count desc,
+    term asc) — the n-gram corpus-statistics primitive (stopword-pair
+    mining, boilerplate detection, contamination screens).
+
+    Scale shape: per-batch PARTIAL counts (an Arrow split + one numpy
+    adjacency pass + value_counts — the full pair stream never leaves
+    the task), then a hash shuffle of (term, c) partials, per-partition
+    sum + per-partition top-``topn`` (a term lives in exactly one
+    partition, so the global top is a subset of the union of partition
+    tops), and a driver-side merge over the ≤ parts·topn survivors."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.functions.text import _WS, fingerprint_batch
+    from s2geometry_ray.scale import derive_num_parts
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    num_parts = derive_num_parts(n_docs, rows_per_part=100_000)
+    ws_pat = f"[{_WS}]+"
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.cast(t["text"], pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(texts, ws_pat)
+        counts = np.asarray(lists.value_lengths())
+        vals = np.asarray(lists.flatten())
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        nz = vals != ""          # split artifacts at text edges only
+        vals, doc_idx = vals[nz], doc_idx[nz]
+        if vals.size < 2:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        adj = doc_idx[1:] == doc_idx[:-1]
+        terms = np.char.add(np.char.add(
+            vals[:-1][adj].astype(str), " "), vals[1:][adj].astype(str))
+        vc = pd.Series(terms).value_counts()
+        return pa.table({"term": pa.array(vc.index.to_numpy(), type=pa.string()),
+                         "c": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(
+            pa.table({"text": t["term"]}), "text")["fp64"] \
+            .to_numpy(zero_copy_only=False)
+        part = (fp.view(np.uint64) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def part_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False)["c"].sum()
+        s = s.sort_values(["c", "term"], ascending=[False, True],
+                          kind="mergesort").head(topn)
+        return s[["term", "c"]]
+
+    cand = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None) \
+        .groupby("part").map_groups(part_top, batch_format="pandas") \
+        .to_pandas()  # bounded: ≤ num_parts · topn rows
+    out = cand.sort_values(["c", "term"], ascending=[False, True],
+                           kind="mergesort").head(topn)
+    return out.reset_index(drop=True)
+
+
+def bigram_top_terms_sql(topn: int = _BIGRAM_TOPN,
+                         table: str = "documents") -> str:
+    from s2geometry_ray.functions.text import TOKEN_PATTERN
+
+    tok = TOKEN_PATTERN.replace("'", "''")
+    return rf"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '{tok}') AS ts FROM {table}),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS term
+  FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS c
+FROM bg GROUP BY term
+ORDER BY c DESC, term LIMIT {topn}
+"""

@@ -1,0 +1,93 @@
+"""Normalization / per-group cap / bigram top terms (round-4 curation
+additions): ASCII-only lowering contract, cap determinism across
+partition counts, and a brute-force bigram oracle."""
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_normalize_text_ascii_only_and_idempotent(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.text import NormalizeText
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["  Hello\t\tWORLD \n", "İstanbul ẞ Straße",
+                 "already normal", "\f\va\r\nb\t"],
+    })
+    out = rd.from_pandas(df).map_batches(
+        NormalizeText, batch_format="pandas", concurrency=1).to_pandas()
+    got = dict(zip(out["doc_id"], out["norm_text"]))
+    assert got[0] == "hello world"
+    # non-ASCII letters are NOT lowered (explicit ASCII-only contract —
+    # Python/DuckDB unicode lower() rules differ); the ASCII S still is
+    assert got[1] == "İstanbul ẞ straße"
+    assert got[2] == "already normal"
+    assert got[3] == "a b"
+    # idempotence
+    out2 = rd.from_pandas(out.drop(columns=["text"])
+                          .rename(columns={"norm_text": "text"})
+                          [["doc_id", "text"]]).map_batches(
+        NormalizeText, batch_format="pandas", concurrency=1).to_pandas()
+    assert (out2["norm_text"] == out2["text"]).all()
+
+
+def test_cap_per_group_partition_invariance_and_bound(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.shuffle import cap_per_group
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"])
+    a = cap_per_group(ds, "source", k=7, seed=5, num_parts=2).to_pandas()
+    b = cap_per_group(ds, "source", k=7, seed=5, num_parts=16).to_pandas()
+    sa = a.sort_values("doc_id").reset_index(drop=True)
+    sb = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb)
+    assert (a.groupby("source").size() <= 7).all()
+    # a different seed draws a different (same-sized) survivor set
+    c = cap_per_group(ds, "source", k=7, seed=6, num_parts=4).to_pandas()
+    assert len(c) == len(a)
+    assert set(c["doc_id"]) != set(a["doc_id"])
+
+
+def test_cap_per_group_small_groups_survive_whole(ray_session):
+    import ray.data as rd
+
+    from s2geometry_ray.functions.shuffle import cap_per_group
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "source": ["a"] * 2 + ["b"] * 8,
+    })
+    out = cap_per_group(rd.from_pandas(df), "source", k=5,
+                        num_parts=3).to_pandas()
+    g = out.groupby("source").size()
+    assert g["a"] == 2 and g["b"] == 5
+
+
+def test_bigram_top_terms_vs_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.functions.text import TOKEN_PATTERN
+    from s2geometry_ray.pipelines.analytics import bigram_top_terms
+
+    got = bigram_top_terms(SF, topn=50)
+    rx = re.compile(TOKEN_PATTERN)
+    cnt = Counter()
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    for s in texts:
+        ts = rx.findall(str(s))
+        cnt.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+    ref = (pd.DataFrame(sorted(cnt.items()), columns=["term", "c"])
+           .sort_values(["c", "term"], ascending=[False, True],
+                        kind="mergesort").head(50).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"c": "int64"}), ref.astype({"c": "int64"}))
