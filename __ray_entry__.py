@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_docs": normalize_text_docs,
         "cap_per_source_docs": cap_per_source_docs,
         "bigram_top_terms_docs": AN.bigram_top_terms,
+        "augment_images": X.augment_images,
     }
 
 
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["cap_per_group_sql"]).cap_per_group_sql(
                 "source", 10, key_col="doc_id", seed=3),
         "bigram_top_terms_docs": AN.bigram_top_terms_sql(),
+        "augment_images": G.augment_images_sql(400),
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

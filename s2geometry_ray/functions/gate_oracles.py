@@ -552,3 +552,29 @@ def ivf_recall_sql(recall_pct: int, n_queries: int = 5) -> str:
     return (f"SELECT 'ivf_recall_at_20' AS metric, "
             f"CAST({recall_pct} AS BIGINT) AS recall_pct, "
             f"CAST({n_queries} AS BIGINT) AS n_queries")
+
+
+def augment_images_sql(n: int = 400) -> str:
+    """Expected (image_id, aug_h, aug_w, aug_sum, aug_phash) from a
+    DRIVER-side decode + augment of the same deterministic synthetic
+    images — pins the actor-pool augmentation stage value-exactly
+    (the replayable-augmentation contract: same hash key → same
+    flips/rotation/crop on any worker)."""
+    from s2geometry_ray.kernels import codecs
+    from s2geometry_ray.sources.synth import _hash_u64, gen_image_row
+    from s2geometry_ray.stages.decode import augment_features
+
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        ah, aw, asum, aph = augment_features(
+            codecs.DECODERS[r["fmt"]](r["bytes"]),
+            _hash_u64(r["image_id"], "aug"))
+        vals.append(f"({_str_lit(r['image_id'])}, {ah}, {aw}, "
+                    f"{asum}, {aph})")
+    return ("SELECT image_id, CAST(aug_h AS BIGINT) AS aug_h, "
+            "CAST(aug_w AS BIGINT) AS aug_w, "
+            "CAST(aug_sum AS BIGINT) AS aug_sum, "
+            "CAST(aug_phash AS BIGINT) AS aug_phash FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(image_id, aug_h, aug_w, aug_sum, aug_phash)")

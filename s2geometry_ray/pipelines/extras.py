@@ -604,3 +604,14 @@ def image_thumbs_images(_sf_dir: str, n: int = 400):
     from s2geometry_ray.stages.decode import image_thumb_stage
 
     return image_thumb_stage(images_dataset(n), thumb=8, concurrency=2)
+
+
+def augment_images(_sf_dir: str, n: int = 400):
+    """Deterministic image AUGMENTATION (hash-keyed flip/rotate +
+    center crop) through the actor pool; value-checked against a
+    driver-side recompute of the same chain
+    (gate_oracles.augment_images_sql)."""
+    from s2geometry_ray.sources.synth import images_dataset
+    from s2geometry_ray.stages.decode import augment_stage
+
+    return augment_stage(images_dataset(n), concurrency=2)

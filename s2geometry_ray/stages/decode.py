@@ -234,3 +234,73 @@ def video_sample_stage(ds, every: int = 4, concurrency: int = 4,
                           fn_constructor_kwargs=dict(every=every),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+# --- O44: deterministic image augmentation -----------------------------
+
+
+def augment_pixels(pixels: np.ndarray, h64: int,
+                   crop_num: int = 3, crop_den: int = 4) -> np.ndarray:
+    """The augmentation chain shared by AugmentActor (workers) and the
+    gate oracle's driver-side recompute: content-hash-keyed horizontal /
+    vertical flip and 90° rotation (bits 0–2 of ``h64``), then a
+    center crop to ``crop_num/crop_den`` of each side.  Deterministic —
+    the same image augments identically on any worker, any run (a
+    training pipeline must be able to REPLAY its augmentations)."""
+    if h64 & 1:
+        pixels = pixels[:, ::-1]
+    if h64 & 2:
+        pixels = pixels[::-1]
+    if h64 & 4:
+        pixels = np.rot90(pixels)
+    h, w = pixels.shape[:2]
+    ch = max(1, (h * crop_num) // crop_den)
+    cw = max(1, (w * crop_num) // crop_den)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    return np.ascontiguousarray(pixels[y0:y0 + ch, x0:x0 + cw])
+
+
+def augment_features(pixels: np.ndarray, h64: int) -> tuple:
+    """(aug_h, aug_w, aug_sum, aug_phash) of the augmented image —
+    tiny integer columns; the full pixels never leave the worker."""
+    from s2geometry_ray.kernels.phash import phash64_i64
+
+    aug = augment_pixels(pixels, h64)
+    return (aug.shape[0], aug.shape[1],
+            int(aug.astype(np.int64).sum()), int(phash64_i64(aug)))
+
+
+class AugmentActor:
+    """Actor-pool deterministic augmentation: decode → hash-keyed
+    flip/rotate/center-crop → integer features.  Codec dispatch state
+    in ``__init__`` (once per actor)."""
+
+    def __init__(self):
+        self.decoders = dict(codecs.DECODERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from s2geometry_ray.sources.synth import _hash_u64
+
+        ids = batch["image_id"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(data)
+        ah = np.empty(n, dtype=np.int64)
+        aw = np.empty(n, dtype=np.int64)
+        asum = np.empty(n, dtype=np.int64)
+        aph = np.empty(n, dtype=np.int64)
+        for i in range(n):  # per-image loop is codec-inherent
+            h64 = _hash_u64(ids[i], "aug")
+            ah[i], aw[i], asum[i], aph[i] = augment_features(
+                self.decoders[fmts[i]](data[i]), h64)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "aug_h": pa.array(ah), "aug_w": pa.array(aw),
+            "aug_sum": pa.array(asum), "aug_phash": pa.array(aph),
+        })
+
+
+def augment_stage(ds, concurrency: int = 4, batch_size: int = 128):
+    return ds.map_batches(AugmentActor, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)

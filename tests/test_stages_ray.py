@@ -1056,3 +1056,47 @@ def test_image_thumb_stage_matches_driver(ray_session):
                     .reshape(8, fh, 8, fw, 3).sum(axis=(1, 3))
                     // (fh * fw)).astype(np.uint8)
             assert np.array_equal(resize_area(px, 8, 8), want)
+
+
+def test_augment_pixels_properties():
+    """Flip bits are involutions, rot90 swaps dims pre-crop, crop is
+    3/4-center; the synthetic corpus exercises every augmentation
+    combination (bit coverage)."""
+    import numpy as np
+
+    from s2geometry_ray.sources.synth import _hash_u64, gen_image_row
+    from s2geometry_ray.stages.decode import augment_pixels
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    # flips are involutions (apply twice via direct slicing)
+    assert (augment_pixels(px[:, ::-1], 1)
+            == augment_pixels(px, 0)).all()
+    assert (augment_pixels(px[::-1], 2) == augment_pixels(px, 0)).all()
+    # crop only (h64=0): 3/4 of each side, center
+    out = augment_pixels(px, 0)
+    assert out.shape == (9, 12, 3)
+    assert (out == px[1:10, 2:14]).all()
+    # rot90 swaps dims before the crop
+    assert augment_pixels(px, 4).shape == (12, 9, 3)
+    # sum is crop-independent of flips (same crop window content only
+    # when dims symmetric — so just check determinism instead)
+    assert (augment_pixels(px, 5) == augment_pixels(px, 5)).all()
+    # bit coverage over the synthetic ids
+    bits = {_hash_u64(gen_image_row(i, with_bytes=False)["image_id"],
+                      "aug") & 7 for i in range(64)}
+    assert bits == set(range(8))
+
+
+def test_augment_stage_matches_driver_recompute(ray_session):
+    from s2geometry_ray.functions.gate_oracles import augment_images_sql
+    from s2geometry_ray.pipelines.extras import augment_images
+    import duckdb
+
+    got = augment_images(None, n=60).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    ref = duckdb.sql(augment_images_sql(60)).df() \
+        .sort_values("image_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[ref.columns], ref)
