@@ -232,3 +232,59 @@ def test_polygon_boolean_shared_vertex_jitter(lat0, lng0, size, eps,
                else res.contains_points(pts))
         want = op(ina, inb)
         assert (got[margin] == want[margin]).all(), (fn.__name__, eps, perturb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.floats(-30, 30), st.floats(-60, 60), st.floats(0.2, 1.2),
+       st.floats(-0.6, 0.6), st.floats(0, 2 * np.pi),
+       st.integers(0, 2**32 - 1))
+def test_polygon_boolean_affine_nonconvex_property(lat0, lng0, scale,
+                                                   shear, theta, seed):
+    """Round-5-backlog widener: union/intersection/difference membership
+    property under random AFFINE maps (rotation · shear · anisotropic
+    scale, det > 0 so orientation is preserved) of a NON-CONVEX L-shaped
+    pair — stresses reflex vertices and sheared near-degenerate edges
+    that the convex-quad and star generators cannot produce."""
+    from s2geometry_ray.kernels.polygon_build import (
+        loop_difference, loop_intersection, loop_union, loops_to_polygon)
+    from s2geometry_ray.kernels.regions import LoopRegion
+
+    rng = np.random.default_rng(seed)
+    L = np.array([(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)],
+                 dtype=float)
+
+    def make(xy, la, ln, sx, sy, sh, th):
+        rot = np.array([[np.cos(th), -np.sin(th)],
+                        [np.sin(th), np.cos(th)]])
+        m = rot @ np.array([[1.0, sh], [0.0, 1.0]]) @ np.diag([sx, sy])
+        p = xy @ m.T  # det = sx·sy > 0 → stays CCW-simple
+        return LoopRegion.from_latlng_degrees(
+            [(la + y, ln + x) for x, y in p])
+
+    A = make(L, lat0, lng0, scale, scale * rng.uniform(0.5, 1.5),
+             shear, theta)
+    B = make(L, lat0 + rng.uniform(-0.8, 0.8) * scale,
+             lng0 + rng.uniform(-0.8, 0.8) * scale,
+             scale * rng.uniform(0.4, 1.1), scale * rng.uniform(0.4, 1.1),
+             rng.uniform(-0.5, 0.5), rng.uniform(0, 2 * np.pi))
+
+    lat = lat0 + rng.uniform(-3.5, 3.5, 700) * scale
+    lng = lng0 + rng.uniform(-3.5, 3.5, 700) * scale
+    phi, th_ = np.radians(lat), np.radians(lng)
+    pts = np.stack([np.cos(phi) * np.cos(th_), np.cos(phi) * np.sin(th_),
+                    np.sin(phi)], axis=1)
+    margin = np.ones(len(pts), dtype=bool)
+    for loop in (A, B):
+        v = loop.vertices
+        for k in range(len(v)):
+            n = np.cross(v[k], v[(k + 1) % len(v)])
+            n = n / np.linalg.norm(n)
+            margin &= np.abs(pts @ n) > 5e-4
+    ina, inb = A.contains_points(pts), B.contains_points(pts)
+    for fn, want in ((loop_union, ina | inb),
+                     (loop_intersection, ina & inb),
+                     (loop_difference, ina & ~inb)):
+        res = loops_to_polygon(fn(A, B))
+        got = (np.zeros(len(pts), dtype=bool) if res is None
+               else res.contains_points(pts))
+        assert (got[margin] == want[margin]).all()
