@@ -335,6 +335,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "source"])
         return cap_per_group(ds, "source", k=10, key_col="doc_id", seed=3)
 
+
+    def mixture_resample_docs(sf):
+        """Weighted epoch-mixture resampling (zh ×2.5, en ×0.25, rest
+        ×1): floor copies + bit-exact splitmix stochastic rounding,
+        replica index carried so copies stay distinguishable."""
+        import ray.data as rd
+
+        from s2geometry_ray.functions.shuffle import mixture_resample
+
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        return mixture_resample(ds, "lang", {"zh": 2.5, "en": 0.25},
+                                default_weight=1.0, key_col="doc_id",
+                                seed=17)
+
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import packing as PK
@@ -413,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": cap_per_source_docs,
         "bigram_top_terms_docs": AN.bigram_top_terms,
         "augment_images": X.augment_images,
+        "mixture_resample_docs": mixture_resample_docs,
     }
 
 
@@ -444,6 +460,21 @@ def oracle_sql() -> dict[str, str]:
                              columns=["doc_id", "source"])
         return cap_per_group(ds, "source", k=10, key_col="doc_id", seed=3)
 
+
+    def mixture_resample_docs(sf):
+        """Weighted epoch-mixture resampling (zh ×2.5, en ×0.25, rest
+        ×1): floor copies + bit-exact splitmix stochastic rounding,
+        replica index carried so copies stay distinguishable."""
+        import ray.data as rd
+
+        from s2geometry_ray.functions.shuffle import mixture_resample
+
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        return mixture_resample(ds, "lang", {"zh": 2.5, "en": 0.25},
+                                default_weight=1.0, key_col="doc_id",
+                                seed=17)
+
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import packing as PK
@@ -474,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
                 "source", 10, key_col="doc_id", seed=3),
         "bigram_top_terms_docs": AN.bigram_top_terms_sql(),
         "augment_images": G.augment_images_sql(400),
+        "mixture_resample_docs": __import__(
+            "s2geometry_ray.functions.shuffle",
+            fromlist=["mixture_resample_sql"]).mixture_resample_sql(
+                "lang", {"zh": 2.5, "en": 0.25}, 1.0,
+                key_col="doc_id", seed=17),
         # round-4 conversions: rows-only → value-exact (VERDICT r3 #1).
         # Constants are driver-evaluated deterministic fixtures; derived
         # columns (ranges, token, level, bands, simhash, aggregates) are

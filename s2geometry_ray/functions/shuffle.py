@@ -223,3 +223,90 @@ FROM {table}
 QUALIFY row_number() OVER (PARTITION BY {group_col}
                            ORDER BY {h}, {key_col}) <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# O45: weighted mixture resampling (epoch repetition factors)
+# ---------------------------------------------------------------------------
+
+
+def mixture_resample(ds, stratum_col: str, weights: dict,
+                     default_weight: float = 1.0, key_col: str = "doc_id",
+                     seed: int = 0):
+    """Deterministic weighted resampling: a row in stratum s appears
+    ``floor(w_s)`` times plus one more with probability ``frac(w_s)``
+    — the training-mixture primitive (e.g. upsample 'zh' 2.5×,
+    downsample 'en' 0.25×, keep the rest).  The stochastic-rounding
+    draw is splitmix64(key ⊕ mix(seed)), so the realized corpus is
+    content-hash deterministic and replays on any cluster layout; the
+    output carries a ``rep`` replica index so copies of a row remain
+    distinguishable through downstream shuffles.  Pure per-batch
+    explode, no shuffle."""
+    import pandas as pd
+
+    sm = np.uint64(_seed_mix(seed))
+
+    def plan(w: float) -> tuple[int, np.uint64]:
+        if w < 0:
+            raise ValueError(f"weight must be >= 0, got {w}")
+        base = int(np.floor(w))
+        frac = w - base
+        # inclusive keep-threshold for the extra copy; frac==0 → never
+        thr = np.uint64(_rate_threshold(frac)) if frac > 0 else None
+        return base, thr
+
+    plans = {s: plan(w) for s, w in weights.items()}
+    plan_def = plan(default_weight)
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(k ^ sm)
+        strat = np.asarray(t[stratum_col])
+        n = np.full(len(k), plan_def[0], dtype=np.int64)
+        extra = (np.zeros(len(k), dtype=np.int64) if plan_def[1] is None
+                 else (h <= plan_def[1]).astype(np.int64))
+        for s, (base, thr) in plans.items():
+            m = strat == s
+            n[m] = base
+            extra[m] = 0 if thr is None else (h[m] <= thr).astype(np.int64)
+        n = n + extra
+        idx = np.repeat(np.arange(len(k)), n)
+        rep = (np.arange(idx.size, dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(n)[:-1]]), n))
+        out = t.take(pa.array(idx))
+        return out.append_column("rep", pa.array(rep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_resample_sql(stratum_col: str, weights: dict,
+                         default_weight: float = 1.0,
+                         key_col: str = "doc_id", seed: int = 0,
+                         table: str = "documents") -> str:
+    """DuckDB twin: base copies + a bit-exact splitmix stochastic-
+    rounding extra, exploded with generate_series."""
+    sm = _seed_mix(seed)
+    wrapped = (f"CAST(((CAST({key_col} AS HUGEINT) % 18446744073709551616)"
+               f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+    h = sql_splitmix64(f"xor({wrapped}, {sm})")
+
+    def n_expr(w: float) -> str:
+        base = int(np.floor(w))
+        frac = w - base
+        if frac <= 0:
+            return str(base)
+        thr = _rate_threshold(frac)
+        return (f"({base} + CASE WHEN hh <= CAST({thr} AS UBIGINT)"
+                f" THEN 1 ELSE 0 END)")
+
+    cases = " ".join(f"WHEN '{s}' THEN {n_expr(w)}"
+                     for s, w in weights.items())
+    n = f"CASE {stratum_col} {cases} ELSE {n_expr(default_weight)} END"
+    return f"""
+WITH h AS (
+  SELECT {key_col}, {stratum_col}, {h} AS hh FROM {table}),
+n AS (SELECT {key_col}, {stratum_col}, {n} AS n FROM h)
+SELECT CAST({key_col} AS BIGINT) AS {key_col}, {stratum_col},
+       CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS rep
+FROM n WHERE n > 0
+"""

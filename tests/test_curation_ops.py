@@ -91,3 +91,43 @@ def test_bigram_top_terms_vs_brute(ray_session):
                         kind="mergesort").head(50).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"c": "int64"}), ref.astype({"c": "int64"}))
+
+
+def test_mixture_resample_contract(ray_session):
+    """floor(w) copies always appear; the extra copy rate is plausible;
+    rep indexes are dense 0..n-1; integer weights are exact; weight 0
+    drops the stratum entirely."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.shuffle import mixture_resample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "lang": np.where(np.arange(2000) % 4 == 0, "zh",
+                         np.where(np.arange(2000) % 4 == 1, "en", "de")),
+    })
+    out = mixture_resample(rd.from_pandas(df), "lang",
+                           {"zh": 2.5, "en": 0.25, "de": 3.0},
+                           default_weight=1.0, seed=9).to_pandas()
+    g = out.groupby(["lang", "doc_id"]).size()
+    zh = g.loc["zh"]
+    assert zh.min() >= 2 and zh.max() <= 3          # floor + extra
+    assert abs(zh.mean() - 2.5) < 0.1               # stochastic rounding
+    assert (g.loc["de"] == 3).all()                 # integer weight exact
+    en_total = (out["lang"] == "en").sum()
+    assert 0.15 * 500 < en_total < 0.35 * 500       # ~0.25 Bernoulli
+    # rep dense per row
+    reps = out.groupby("doc_id")["rep"].agg(["min", "max", "size"])
+    assert (reps["min"] == 0).all()
+    assert (reps["max"] == reps["size"] - 1).all()
+    # weight 0 drops the stratum
+    out0 = mixture_resample(rd.from_pandas(df), "lang", {"zh": 0.0},
+                            default_weight=1.0, seed=9).to_pandas()
+    assert (out0["lang"] != "zh").all()
+    # determinism across runs
+    out2 = mixture_resample(rd.from_pandas(df), "lang",
+                            {"zh": 2.5, "en": 0.25, "de": 3.0},
+                            default_weight=1.0, seed=9).to_pandas()
+    a = out.sort_values(["doc_id", "rep"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "rep"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
