@@ -98,8 +98,61 @@ def _base_offsets(counts) -> dict[int, int]:
                     .astype(int)))
 
 
+def _explode_pieces(did: np.ndarray, nt: np.ndarray, s: np.ndarray,
+                    budget: int) -> pd.DataFrame:
+    """(doc ids, token counts, global start offsets) → one row per
+    (document × pack) piece, fully vectorized (repeat/arange)."""
+    nz = nt > 0
+    did, nt, s = did[nz], nt[nz], s[nz]
+    p0, p1 = s // budget, (s + nt - 1) // budget
+    reps = (p1 - p0 + 1).astype(np.int64)
+    tot = int(reps.sum())
+    if tot == 0:
+        return pd.DataFrame({c: np.array([], dtype=np.int64)
+                             for c in ("doc_id", "pack_id",
+                                       "begin_tok", "n_tok")})
+    # within-doc piece index j via the repeat/arange explode
+    j = np.arange(tot, dtype=np.int64) \
+        - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+    pack = np.repeat(p0, reps) + j
+    lo = np.maximum(np.repeat(s, reps), pack * budget)
+    hi = np.minimum(np.repeat(s + nt, reps), (pack + 1) * budget)
+    return pd.DataFrame({
+        "doc_id": np.repeat(did, reps).astype(np.int64),
+        "pack_id": pack,
+        "begin_tok": lo - pack * budget,
+        "n_tok": hi - lo,
+    })
+
+
+def _block_stats(counts) -> pd.DataFrame:
+    """One row per materialized block: (first key, min, max, internal
+    sortedness, token total).  Tiny — drives the plan choice below."""
+
+    def st(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        if did.size == 0:
+            return pa.table({"first": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64()),
+                             "srt": pa.array([], type=pa.bool_()),
+                             "tok": pa.array([], type=pa.int64())})
+        return pa.table({
+            "first": pa.array([int(did[0])]),
+            "mn": pa.array([int(did.min())]),
+            "mx": pa.array([int(did.max())]),
+            "srt": pa.array([bool(np.all(did[1:] > did[:-1]))]),
+            "tok": pa.array([int(nt.sum())]),
+        })
+
+    return counts.map_batches(st, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+
+
 def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
-                        span: int | None = None):
+                        span: int | None = None,
+                        force_shuffle: bool = False):
     """Concat-and-chop sequence packing: documents are concatenated in
     doc_id order and cut into ``budget``-token packs; a document
     straddling a cut belongs to every pack it touches.  Output is one
@@ -107,6 +160,19 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
 
       (doc_id, pack_id, begin_tok = offset of the piece inside its
        pack, n_tok = piece length) — empty documents emit nothing.
+
+    Two physical plans, identical output:
+    - **sorted-source fast path** (auto-detected from per-block stats):
+      when every block is internally sorted and block key ranges are
+      pairwise disjoint — the layout any doc_id-ordered ingest gives —
+      the global prefix sum needs NO shuffle at all: the driver orders
+      the per-block token totals by key range, computes the exclusive
+      prefix, and each block looks up its base by its first key.  This
+      skips Ray's fixed all-to-all setup cost entirely and at scale
+      moves zero rows.
+    - **shuffle fallback**: arbitrary layouts hash-partition the
+      int-only (doc_id, n_tokens, pid) table on key-range pids and
+      cumsum inside each partition.
 
     DuckDB twin: window cumsum + generate_series (PACK_SEQUENCES_SQL).
     """
@@ -120,6 +186,32 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
                    // derive_num_parts(n_docs, rows_per_part=100_000))
 
     counts = _token_counts(sf_dir, span)
+
+    if not force_shuffle:
+        st = _block_stats(counts).sort_values("mn").reset_index(drop=True)
+        disjoint = bool((st["mn"].to_numpy()[1:]
+                         > st["mx"].to_numpy()[:-1]).all())
+        if bool(st["srt"].all()) and disjoint:
+            tok = st["tok"].to_numpy()
+            bases = dict(zip(
+                st["first"].astype(int),
+                np.concatenate([[0], np.cumsum(tok)[:-1]]).astype(int)))
+
+            def emit_fast(t: pa.Table) -> pd.DataFrame:
+                did = t["doc_id"].to_numpy(zero_copy_only=False)
+                nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+                if did.size == 0:
+                    return _explode_pieces(did.astype(np.int64),
+                                           np.array([], dtype=np.int64),
+                                           np.array([], dtype=np.int64),
+                                           budget)
+                s = bases[int(did[0])] \
+                    + np.concatenate([[0], np.cumsum(nt)[:-1]])
+                return _explode_pieces(did, nt, s, budget)
+
+            return counts.map_batches(emit_fast, batch_format="pyarrow",
+                                      batch_size=None)
+
     base = _base_offsets(counts)  # ≤1024 entries — cheap in the closure
 
     def emit_pieces(g: pd.DataFrame) -> pd.DataFrame:
@@ -128,27 +220,7 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
         nt = g["n_tokens"].to_numpy()[order]
         s = int(base[int(g["pid"].iat[0])]) \
             + np.concatenate([[0], np.cumsum(nt)[:-1]])
-        nz = nt > 0
-        did, nt, s = did[nz], nt[nz], s[nz]
-        p0, p1 = s // budget, (s + nt - 1) // budget
-        reps = (p1 - p0 + 1).astype(np.int64)
-        tot = int(reps.sum())
-        if tot == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in ("doc_id", "pack_id",
-                                           "begin_tok", "n_tok")})
-        # within-doc piece index j via the repeat/arange explode
-        j = np.arange(tot, dtype=np.int64) \
-            - np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
-        pack = np.repeat(p0, reps) + j
-        lo = np.maximum(np.repeat(s, reps), pack * budget)
-        hi = np.minimum(np.repeat(s + nt, reps), (pack + 1) * budget)
-        return pd.DataFrame({
-            "doc_id": np.repeat(did, reps),
-            "pack_id": pack,
-            "begin_tok": lo - pack * budget,
-            "n_tok": hi - lo,
-        })
+        return _explode_pieces(did, nt, s, budget)
 
     return counts.groupby("pid").map_groups(emit_pieces,
                                             batch_format="pandas")

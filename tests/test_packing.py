@@ -36,10 +36,13 @@ def test_pack_span_invariance(ray_session):
     default."""
     from s2geometry_ray.pipelines.packing import pack_sequences_docs
 
-    a = _sorted(pack_sequences_docs(SF, budget=64, span=7).to_pandas())
-    b = _sorted(pack_sequences_docs(SF, budget=64, span=10_000).to_pandas())
+    a = _sorted(pack_sequences_docs(SF, budget=64, span=7,
+                                    force_shuffle=True).to_pandas())
+    b = _sorted(pack_sequences_docs(SF, budget=64, span=10_000,
+                                    force_shuffle=True).to_pandas())
     c = _sorted(pack_sequences_docs(SF, budget=64).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+    # the zero-shuffle sorted-source fast path must equal the shuffle plan
     pd.testing.assert_frame_equal(a, c)
 
 
@@ -51,8 +54,8 @@ def test_pack_invariants_vs_scalar_reference(ray_session, doc_tokens):
     from s2geometry_ray.pipelines.packing import pack_sequences_docs
 
     budget = 128
-    got = _sorted(pack_sequences_docs(SF, budget=budget, span=13)
-                  .to_pandas())
+    got = _sorted(pack_sequences_docs(SF, budget=budget, span=13,
+                                      force_shuffle=True).to_pandas())
 
     rows, off = [], 0
     for did, nt in zip(doc_tokens["doc_id"], doc_tokens["nt"]):
