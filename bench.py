@@ -451,14 +451,32 @@ def main() -> None:
     if "--scaling" in sys.argv:
         pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8")
         lo, hi = (int(x) for x in pair.split(","))
-        probe_before = _host_probe()
-        results = {}
-        for n in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            out = subprocess.run([sys.executable, __file__, "--scaling-child"],
-                                 env=env, capture_output=True, text=True,
-                                 check=True).stdout
-            results[n] = json.loads(out.strip().splitlines()[-1])
+        # Host bandwidth swings up to ~7x mid-measurement (BASELINE.md);
+        # a pair whose two runs landed on different host states measures
+        # the hypervisor, not the code.  Retry until the probes bracket
+        # each child run coherently (<=1.35x spread), else keep the
+        # most-coherent attempt — selection is by measurement VALIDITY
+        # (probe spread), never by the resulting efficiency; every
+        # attempt is reported raw in `attempts`.
+        attempts = []
+        max_tries = int(os.environ.get("GRAFT_SCALING_TRIES", "3"))
+        for _ in range(max_tries):
+            probes = [_host_probe()]
+            results = {}
+            for n in (lo, hi):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+                out = subprocess.run(
+                    [sys.executable, __file__, "--scaling-child"],
+                    env=env, capture_output=True, text=True,
+                    check=True).stdout
+                results[n] = json.loads(out.strip().splitlines()[-1])
+                probes.append(_host_probe())
+            spread = max(probes) / min(probes)
+            attempts.append((spread, probes, results))
+            if spread <= 1.35:
+                break
+        spread, probes, results = min(attempts, key=lambda a: a[0])
+        probe_before = probes[0]
         ratio = hi / lo
         t8, t32 = results[lo]["sec"], results[hi]["sec"]
         j8, j32 = results[lo]["join_sec"], results[hi]["join_sec"]
@@ -486,7 +504,15 @@ def main() -> None:
             "sf": sf_dir,
             # ~3x host bandwidth swing with hypervisor contention —
             # normalize cross-round comparisons by these (BASELINE.md)
-            "host_probe_u64_add_sec": [probe_before, _host_probe()],
+            "host_probe_u64_add_sec": probes,
+            "probe_spread": round(spread, 2),
+            "attempts": [
+                {"probe_spread": round(s, 2), "probes": p,
+                 "sec_lo": r[lo]["sec"], "sec_hi": r[hi]["sec"],
+                 "eff": round((r[lo]["sec"] / r[hi]["sec"]) / ratio, 3),
+                 "join_eff": round(
+                     (r[lo]["join_sec"] / r[hi]["join_sec"]) / ratio, 3)}
+                for s, p, r in attempts],
         }))
         return
     print(json.dumps(run_all(sf_dir, num_cpus)))
