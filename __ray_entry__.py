@@ -350,6 +350,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 default_weight=1.0, key_col="doc_id",
                                 seed=17)
 
+
+    def decontaminate_docs(sf):
+        """Benchmark decontamination: flag docs sharing >=3 distinct
+        character shingles with a broadcast query set — >=16 distinct
+        shared shingles, corpus-calibrated to split the table (bit-exact
+        shingle twin via the shared shingle_ctes block)."""
+        from s2geometry_ray.functions.dedup import DECON_QUERIES, decontaminate
+
+        return decontaminate(_docs(sf), list(DECON_QUERIES), min_hits=16)
+
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import packing as PK
@@ -429,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top_terms_docs": AN.bigram_top_terms,
         "augment_images": X.augment_images,
         "mixture_resample_docs": mixture_resample_docs,
+        "decontaminate_docs": decontaminate_docs,
     }
 
 
@@ -475,6 +486,16 @@ def oracle_sql() -> dict[str, str]:
                                 default_weight=1.0, key_col="doc_id",
                                 seed=17)
 
+
+    def decontaminate_docs(sf):
+        """Benchmark decontamination: flag docs sharing >=3 distinct
+        character shingles with a broadcast query set — >=16 distinct
+        shared shingles, corpus-calibrated to split the table (bit-exact
+        shingle twin via the shared shingle_ctes block)."""
+        from s2geometry_ray.functions.dedup import DECON_QUERIES, decontaminate
+
+        return decontaminate(_docs(sf), list(DECON_QUERIES), min_hits=16)
+
     from s2geometry_ray.pipelines import analytics as AN
     from s2geometry_ray.pipelines import extras as X
     from s2geometry_ray.pipelines import packing as PK
@@ -505,6 +526,10 @@ def oracle_sql() -> dict[str, str]:
                 "source", 10, key_col="doc_id", seed=3),
         "bigram_top_terms_docs": AN.bigram_top_terms_sql(),
         "augment_images": G.augment_images_sql(400),
+        "decontaminate_docs": G.decontaminate_docs_sql(
+            list(__import__("s2geometry_ray.functions.dedup",
+                            fromlist=["DECON_QUERIES"]).DECON_QUERIES),
+            min_hits=16),
         "mixture_resample_docs": __import__(
             "s2geometry_ray.functions.shuffle",
             fromlist=["mixture_resample_sql"]).mixture_resample_sql(

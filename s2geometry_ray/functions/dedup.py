@@ -853,3 +853,63 @@ def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
     return labels.map_batches(
         lambda t: pa.table({key_col: t["node"], "rep": t["label"]}),
         batch_format="pyarrow")
+
+
+# --- O46: benchmark decontamination ------------------------------------
+
+
+def decontaminate(ds, query_texts: list[str], width: int = 5,
+                  min_hits: int = 1, key_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Test-set DECONTAMINATION: flag every document sharing at least
+    ``min_hits`` DISTINCT character shingles with a (small) query set —
+    the screen a training corpus runs against its benchmark suites
+    before training.
+
+    The query shingle set is built once on the driver and broadcast via
+    ``ray.put`` (read per task, never re-shipped per batch); per batch,
+    the bulk Arrow-buffer shingler runs once and distinct-per-doc
+    membership is a lexsort + searchsorted — no per-row Python, no
+    shuffle at any scale.  Output: (key, n_hits = distinct shared
+    shingles, contaminated)."""
+    import pyarrow.compute as pc
+    import ray
+
+    if not query_texts:
+        raise ValueError("query_texts must be non-empty")
+    q = np.unique(np.concatenate(
+        [_shingle_hashes(t, width) for t in query_texts]))
+    q_ref = ray.put(q)
+
+    def fn(t: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        col = pc.cast(t[text_col], pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs, counts = _bulk_shingle_hashes(col, width)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        # distinct-per-doc: first occurrence along the (doc, hash) sort
+        order = np.lexsort((hs, doc_idx))
+        hso, dio = hs[order], doc_idx[order]
+        first = np.ones(hso.size, dtype=bool)
+        first[1:] = (hso[1:] != hso[:-1]) | (dio[1:] != dio[:-1])
+        pos = np.searchsorted(qs, hso).clip(max=qs.size - 1)
+        hit = first & (qs[pos] == hso)
+        n_hits = np.bincount(dio[hit], minlength=len(counts)) \
+            .astype(np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "n_hits": pa.array(n_hits),
+            "contaminated": pa.array(n_hits >= min_hits),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# fixed decontamination query set for the gate (shared by the Ray query
+# and the SQL twin so both sides embed the identical shingles)
+DECON_QUERIES = (
+    "key agg row scan slow",
+    "batch window spark order",
+    "zzqqxxvv never appears anywhere",
+)

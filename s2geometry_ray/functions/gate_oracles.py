@@ -339,6 +339,32 @@ def video_frame_sample_sql(n: int = 120, every: int = 4,
 # ---------------------------------------------------------------------------
 
 
+def shingle_ctes(width: int = 5, table: str = "documents",
+                 key: str = "doc_id", text: str = "text") -> str:
+    """WITH-prefix ending in ``sh(k, h)`` — per-doc DISTINCT
+    splitmix-mixed byte-shingle hashes (big-endian ``width``-byte
+    windows of lower(text), '_'-padded below width).  Shared by the
+    MinHash twin chain and the decontamination twin so the shingle SQL
+    can never diverge.  ASCII-corpus precondition: char == byte."""
+    pack = "CAST(ascii(substr(t, p, 1)) AS UBIGINT)"
+    for k in range(1, width):
+        pack = (f"({pack}) * 256 + "
+                f"CAST(ascii(substr(t, p + {k}, 1)) AS UBIGINT)")
+    mixed = sql_splitmix64("raw")
+    return f"""
+WITH pad AS (
+  SELECT {key} AS k,
+         CASE WHEN length({text}) >= {width} THEN lower({text})
+              ELSE lower({text}) || repeat('_', {width} - length({text}))
+         END AS t
+  FROM {table}),
+win AS (
+  SELECT k, t, unnest(generate_series(1, length(t) - {width - 1})) AS p
+  FROM pad),
+shraw AS (SELECT DISTINCT k, {pack} AS raw FROM win),
+sh AS (SELECT k, {mixed} AS h FROM shraw)"""
+
+
 def minhash_ctes(num_perm: int = 64, bands: int = 16, width: int = 5,
                  seed: int = 1234, max_bucket: int = 256,
                  table: str = "documents", key: str = "doc_id",
@@ -373,10 +399,6 @@ def minhash_ctes(num_perm: int = 64, bands: int = 16, width: int = 5,
         for p in range(num_perm))
     # big-endian byte pack of the width-window (ASCII corpora: char ==
     # byte, the simhash-twin precondition)
-    pack = "CAST(ascii(substr(t, p, 1)) AS UBIGINT)"
-    for k in range(1, width):
-        pack = f"({pack}) * 256 + CAST(ascii(substr(t, p + {k}, 1)) AS UBIGINT)"
-    mixed = sql_splitmix64("raw")
     mersenne = (1 << 61) - 1
     affine = (f"CAST(CAST((CAST(h AS HUGEINT) * a + b) % {_U64} AS UBIGINT)"
               f" % {mersenne} AS UBIGINT)")
@@ -388,18 +410,8 @@ def minhash_ctes(num_perm: int = 64, bands: int = 16, width: int = 5,
         prod = _sql_mulmod(f"({fold})", 0x100000001B3)
         fold = (f"CAST((CAST({prod} AS HUGEINT) + s{r}) % {_U64}"
                 f" AS UBIGINT)")
-    return f"""
-WITH pad AS (
-  SELECT {key} AS k,
-         CASE WHEN length({text}) >= {width} THEN lower({text})
-              ELSE lower({text}) || repeat('_', {width} - length({text}))
-         END AS t
-  FROM {table}),
-win AS (
-  SELECT k, t, unnest(generate_series(1, length(t) - {width - 1})) AS p
-  FROM pad),
-shraw AS (SELECT DISTINCT k, {pack} AS raw FROM win),
-sh AS (SELECT k, {mixed} AS h FROM shraw),
+    return shingle_ctes(width=width, table=table, key=key,
+                        text=text) + f""",
 aff AS (
   SELECT k, perm, MIN({affine}) AS sig
   FROM sh, (VALUES {perm_vals}) AS perms(perm, a, b)
@@ -578,3 +590,27 @@ def augment_images_sql(n: int = 400) -> str:
             "CAST(aug_phash AS BIGINT) AS aug_phash FROM (VALUES "
             + ", ".join(vals)
             + ") AS t(image_id, aug_h, aug_w, aug_sum, aug_phash)")
+
+
+def decontaminate_docs_sql(query_texts: list[str], width: int = 5,
+                           min_hits: int = 1,
+                           table: str = "documents") -> str:
+    """Twin of ``dedup.decontaminate``: the query shingle set is the
+    engine's own driver-side computation embedded as u64 VALUES; doc
+    shingles come from the shared ``shingle_ctes`` block (distinct per
+    doc on both engines)."""
+    from s2geometry_ray.functions.dedup import _shingle_hashes
+
+    q = np.unique(np.concatenate(
+        [_shingle_hashes(t, width) for t in query_texts]))
+    vals = ", ".join(f"({_u64_lit(int(h))})" for h in q)
+    return shingle_ctes(width=width, table=table) + f""",
+qset AS (SELECT h FROM (VALUES {vals}) AS q(h)),
+hits AS (
+  SELECT k, count(*) AS n_hits
+  FROM sh WHERE h IN (SELECT h FROM qset) GROUP BY k)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hits.n_hits, 0) >= {min_hits} AS contaminated
+FROM {table} d LEFT JOIN hits ON hits.k = d.doc_id
+"""

@@ -131,3 +131,33 @@ def test_mixture_resample_contract(ray_session):
     a = out.sort_values(["doc_id", "rep"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "rep"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_exact_and_negative(ray_session):
+    """A doc containing a query verbatim is flagged; a disjoint-alphabet
+    doc has zero hits; n_hits counts DISTINCT shared shingles (repeats
+    in the doc don't inflate)."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import _shingle_hashes, decontaminate
+
+    q = "the quick brown fox"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [f"prefix {q} suffix",          # verbatim containment
+                 "zzz www qqq vvv",              # disjoint
+                 f"{q} {q} {q}",                 # repeats → same distinct set
+                 "THE QUICK BROWN FOX is cased"  # lowercased shingles match
+                 ],
+    })
+    out = decontaminate(rd.from_pandas(df), [q], min_hits=3).to_pandas() \
+        .set_index("doc_id")
+    nq = len(_shingle_hashes(q))
+    assert out.loc[0, "n_hits"] >= nq          # all query shingles present
+    assert out.loc[0, "contaminated"]
+    assert out.loc[1, "n_hits"] == 0 and not out.loc[1, "contaminated"]
+    # repeats add only the joining shingles ("x t", etc.), never n×
+    assert out.loc[2, "n_hits"] < 2 * nq
+    assert out.loc[3, "n_hits"] >= nq          # case-insensitive
+    with pytest.raises(ValueError):
+        decontaminate(rd.from_pandas(df), [])
