@@ -49,10 +49,22 @@ def make_points_prep(key_col: str, levels: tuple = (), with_token: bool = False)
 
     def prep(batch: pa.Table) -> pa.Table:
         if "lat" not in batch.column_names:
-            from s2geometry_ray.sources.synth import derive_latlng
+            if pa.types.is_integer(batch[key_col].type):
+                # integer keys (events/lineitem convention): the
+                # vectorized modular geotag with a bit-exact SQL twin
+                import numpy as np
 
-            lats, lngs = zip(*(derive_latlng(i) for i in
-                               batch[key_col].to_pylist()))
+                from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+                k = batch[key_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                lats, lngs = derive_lat(k), derive_lng(k)
+            else:
+                # string image ids: the synthetic-images sha256 convention
+                from s2geometry_ray.sources.synth import derive_latlng
+
+                lats, lngs = zip(*(derive_latlng(i) for i in
+                                   batch[key_col].to_pylist()))
             batch = batch.append_column("lat", pa.array(lats, type=pa.float64()))
             batch = batch.append_column("lng", pa.array(lngs, type=pa.float64()))
         return assign_cells(batch.select([key_col, "lat", "lng"]),
