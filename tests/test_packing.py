@@ -123,3 +123,31 @@ def test_semantic_dedup_planted_contract(ray_session):
     assert (natural["rep"] == natural["vec_id"]).all()
     # survivors = natural rows only
     assert (out["rep"] == out["vec_id"]).sum() == len(natural)
+
+
+def test_pack_unsorted_source_falls_back_and_matches(ray_session, tmp_path):
+    """A shuffled (non-doc_id-sorted) source must NOT take the
+    zero-shuffle fast path — the auto-detection falls back to the
+    hash-partitioned plan and the result equals the sorted source's
+    (packing is defined by doc_id order, not physical order)."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    from s2geometry_ray.pipelines.packing import pack_sequences_docs
+
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(src.num_rows)
+    shuffled = src.take(pa.array(perm))
+    d = tmp_path / "unsorted"
+    d.mkdir()
+    # two row groups so multiple blocks exist, each internally unsorted
+    pq.write_table(shuffled, str(d / "documents.parquet"),
+                   row_group_size=src.num_rows // 3)
+
+    a = _sorted(pack_sequences_docs(str(d), budget=96, span=11)
+                .to_pandas())
+    b = _sorted(pack_sequences_docs(SF, budget=96).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
