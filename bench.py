@@ -334,10 +334,20 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         ds = ds.materialize()
         print(ds.stats(), file=sys.stderr)
     ray.shutdown()
+    # the north rule's stated metric is spatial-join + tile-assignment
+    # THROUGHPUT (rows/sec): input points per timed second
+    import pyarrow.parquet as pq
+
+    n_pts = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows * scale
+    throughput = {
+        name: round(n_pts / queries[name])
+        for name in ("spatial_join", "tile_assign") if name in queries}
     return {
         "metric": "headline_pipelines_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
+        "input_points": n_pts,
+        "throughput_rows_per_sec": throughput,
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,

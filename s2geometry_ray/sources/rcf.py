@@ -13,8 +13,10 @@ Format (one fragment file per Ray block):
     u32    n_cols
     per column, in order:
         u16   name length | name utf8
-        u8    dtype code (0 = int64, 1 = float64, 2 = utf8)
-        u64   payload byte length
+        u8    dtype code (0 = int64, 1 = float64, 2 = utf8;
+              high bit set = zlib-deflated payload, applied per
+              column only when it shrinks)
+        u64   payload byte length (as stored)
     per column, in order: the payload
         int64/float64:  n_rows × 8 bytes LE
         utf8:           (n_rows + 1) × int64 LE offsets, then the data
@@ -48,8 +50,17 @@ _MAGIC = b"RCF1"
 _CODES = {pa.int64(): 0, pa.float64(): 1}
 
 
-def encode_fragment(table: pa.Table) -> bytes:
-    """One Arrow table → one RCF1 fragment (bytes)."""
+def encode_fragment(table: pa.Table, compression: str | None = None) -> bytes:
+    """One Arrow table → one RCF1 fragment (bytes).
+
+    ``compression="zlib"`` deflates each column payload INDEPENDENTLY
+    and keeps whichever is smaller (high bit of the dtype code marks a
+    compressed payload) — so incompressible columns stay raw and
+    zero-copy on read, projection skipping still works (the header
+    records the stored length), and old readers of uncompressed
+    fragments are unaffected."""
+    if compression not in (None, "zlib"):
+        raise ValueError(f"RCF1: unknown compression {compression!r}")
     parts: list[bytes] = []
     header = [_MAGIC, struct.pack("<QI", table.num_rows, table.num_columns)]
     for name, col in zip(table.column_names, table.columns):
@@ -75,6 +86,13 @@ def encode_fragment(table: pa.Table) -> bytes:
             payload = arr.to_numpy(zero_copy_only=False).tobytes()
         else:
             raise TypeError(f"RCF1: unsupported dtype {arr.type} ({name})")
+        if compression == "zlib":
+            import zlib
+
+            comp = zlib.compress(payload, 6)
+            if len(comp) < len(payload):
+                code |= 0x80
+                payload = comp
         nb = name.encode()
         header.append(struct.pack("<H", len(nb)) + nb
                       + struct.pack("<BQ", code, len(payload)))
@@ -102,23 +120,31 @@ def decode_fragment(buf: bytes, columns: list[str] | None = None) -> pa.Table:
     for name, code, plen in meta:
         start, pos = pos, pos + plen
         if columns is not None and name not in columns:
-            continue
+            continue  # skipped columns never decompress OR decode
+        if code & 0x80:
+            import zlib
+
+            blob, base = zlib.decompress(buf[start: start + plen]), 0
+            blen = len(blob)
+            code &= 0x7F
+        else:
+            blob, base, blen = buf, start, plen
         if code == 2:
-            off = np.frombuffer(buf, dtype=np.int64, count=n_rows + 1,
-                                offset=start)
-            data = buf[start + (n_rows + 1) * 8: start + plen]
+            off = np.frombuffer(blob, dtype=np.int64, count=n_rows + 1,
+                                offset=base)
+            data = blob[base + (n_rows + 1) * 8: base + blen]
             cols[name] = pa.LargeStringArray.from_buffers(
                 n_rows, pa.py_buffer(off.tobytes()), pa.py_buffer(data),
             ).cast(pa.string())
         else:
             dt = np.int64 if code == 0 else np.float64
-            vals = np.frombuffer(buf, dtype=dt, count=n_rows, offset=start)
+            vals = np.frombuffer(blob, dtype=dt, count=n_rows, offset=base)
             cols[name] = pa.array(vals)
     order = [m[0] for m in meta if m[0] in cols]
     return pa.table({n: cols[n] for n in order})
 
 
-def write_rcf(ds, out_dir: str):
+def write_rcf(ds, out_dir: str, compression: str | None = None):
     """Dataset → RCF1 fragments under ``out_dir`` (one per block, named
     by content hash) plus an atomic ``_manifest.json`` recording every
     logical block (path, rows) WITH multiplicity.
@@ -140,7 +166,7 @@ def write_rcf(ds, out_dir: str):
         if t.num_rows == 0:
             return pa.table({"path": pa.array([], type=pa.string()),
                              "rows": pa.array([], type=pa.int64())})
-        blob = encode_fragment(t)
+        blob = encode_fragment(t, compression=compression)
         name = hashlib.blake2b(blob, digest_size=16).hexdigest()
         path = os.path.join(out_dir, f"{name}.rcf")
         tmp = path + ".tmp"

@@ -314,3 +314,40 @@ def test_rcf_manifest_multiplicity_and_staleness(ray_session):
         back = rcf.read_rcf(tmp).to_pandas()
         assert len(back) == 6                 # multiplicity restored
         assert 99 not in set(back["doc_id"])  # stale fragment ignored
+
+
+def test_rcf_zlib_compression_roundtrip(ray_session):
+    """Compressed fragments roundtrip value-exactly, shrink on
+    repetitive text, keep incompressible columns raw (smaller-wins), and
+    projection still skips undecoded columns."""
+    import ray.data as rd
+
+    from s2geometry_ray.sources import rcf
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "text": ["the same repetitive sentence " * 5] * 2000,
+        "x": rng.standard_normal(2000),       # incompressible
+    })
+    raw = rcf.encode_fragment(pa.Table.from_pandas(df, preserve_index=False))
+    comp = rcf.encode_fragment(pa.Table.from_pandas(df, preserve_index=False),
+                               compression="zlib")
+    assert len(comp) < len(raw) // 3          # text column deflates hard
+    back = rcf.decode_fragment(comp)
+    pd.testing.assert_frame_equal(back.to_pandas(), df)
+    # projected decode of a compressed fragment
+    just_x = rcf.decode_fragment(comp, columns=["x"])
+    assert just_x.column_names == ["x"]
+    np.testing.assert_array_equal(just_x["x"].to_numpy(), df["x"].to_numpy())
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        rcf.write_rcf(rd.from_pandas(df), tmp + "/c", )
+        rcf.write_rcf(rd.from_pandas(df), tmp + "/z", compression="zlib")
+        a = rcf.read_rcf(tmp + "/c").to_pandas().sort_values("doc_id")
+        b = rcf.read_rcf(tmp + "/z").to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
+    with pytest.raises(ValueError):
+        rcf.encode_fragment(pa.table({"a": pa.array([1])}),
+                            compression="lz4")
