@@ -797,6 +797,14 @@ def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
 
     labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow")
 
+    # all-distinct fast path: no edges → every node is its own
+    # component; skip the round machinery (2 shuffles/round) entirely.
+    # count() on the materialized edges is metadata-only.
+    if edges.count() == 0:
+        return labels.map_batches(
+            lambda t: pa.table({key_col: t["node"], "rep": t["label"]}),
+            batch_format="pyarrow")
+
     def as_carrier(t: pa.Table) -> pa.Table:
         n = t["node"].to_numpy(zero_copy_only=False)
         return pa.table({
