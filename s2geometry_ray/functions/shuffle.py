@@ -310,3 +310,27 @@ SELECT CAST({key_col} AS BIGINT) AS {key_col}, {stratum_col},
        CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS rep
 FROM n WHERE n > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# O47: training feed (epoch-deterministic multi-consumer split)
+# ---------------------------------------------------------------------------
+
+
+def training_feed(ds, key_col: str = "doc_id", seed: int = 0, k: int = 1,
+                  equal: bool = True):
+    """Trainer-facing ingest surface: the deterministic epoch-``seed``
+    permutation (``epoch_shuffle`` — replayable across runs and cluster
+    layouts, unlike ``random_shuffle``) fanned out to ``k``
+    data-parallel consumers via Ray Data's ``streaming_split``.
+
+    Returns k iterators; each trainer rank consumes one CONCURRENTLY
+    (streaming_split coordinates the ranks — sequential consumption of
+    one split starves the others).  ``equal`` balances rows per rank
+    so gradient steps stay in lockstep.  The epoch's CONTENT per rank
+    is the permutation split by block boundary: change ``seed`` per
+    epoch for a fresh permutation."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return epoch_shuffle(ds, key_col, seed).streaming_split(
+        k, equal=equal)

@@ -161,3 +161,42 @@ def test_decontaminate_exact_and_negative(ray_session):
     assert out.loc[3, "n_hits"] >= nq          # case-insensitive
     with pytest.raises(ValueError):
         decontaminate(rd.from_pandas(df), [])
+
+
+def test_training_feed_multiset_and_balance(ray_session):
+    """Two concurrently-consumed ranks together see EXACTLY the input
+    multiset, balanced to within one block; a second epoch (different
+    seed) yields a different within-rank order over the same multiset."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    from s2geometry_ray.functions.shuffle import training_feed
+
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    def drain(split):
+        out = []
+        for b in split.iter_batches(batch_format="pandas", batch_size=64):
+            out.append(b)
+        return pd.concat(out) if out else pd.DataFrame({"doc_id": []})
+
+    def epoch(seed):
+        splits = training_feed(ds, seed=seed, k=2)
+        with ThreadPoolExecutor(2) as ex:
+            return list(ex.map(drain, splits))
+
+    a0, a1 = epoch(1)
+    got = sorted(pd.concat([a0, a1])["doc_id"])
+    assert got == list(range(400))                 # exact multiset
+    assert abs(len(a0) - len(a1)) <= 64            # equalized (±1 block)
+    b0, b1 = epoch(2)
+    assert sorted(pd.concat([b0, b1])["doc_id"]) == list(range(400))
+    # different epoch ⇒ different permutation (overwhelmingly)
+    assert (list(a0["doc_id"]) != list(b0["doc_id"])
+            or list(a1["doc_id"]) != list(b1["doc_id"]))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        training_feed(ds, k=0)
