@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": cap_per_source_docs,
         "bigram_top_terms_docs": AN.bigram_top_terms,
         "augment_images": X.augment_images,
+        "caption_geo_check_images": X.caption_geo_check_images,
         "mixture_resample_docs": mixture_resample_docs,
         "decontaminate_docs": decontaminate_docs,
     }
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
                 "source", 10, key_col="doc_id", seed=3),
         "bigram_top_terms_docs": AN.bigram_top_terms_sql(),
         "augment_images": G.augment_images_sql(400),
+        "caption_geo_check_images": G.caption_geo_check_sql(400),
         "decontaminate_docs": G.decontaminate_docs_sql(
             list(__import__("s2geometry_ray.functions.dedup",
                             fromlist=["DECON_QUERIES"]).DECON_QUERIES),

@@ -614,3 +614,35 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(hits.n_hits, 0) >= {min_hits} AS contaminated
 FROM {table} d LEFT JOIN hits ON hits.k = d.doc_id
 """
+
+
+def caption_geo_check_sql(n: int = 400) -> str:
+    """Expected caption↔geotag validation rows from a driver-side run
+    of the SAME parse+derive chain over the deterministic synthetic
+    captions — a regression in the regex, the id-hash geotag, or the
+    fixed-point formatting flips a row."""
+    from s2geometry_ray.pipelines.extras import CaptionGeoCheck
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    import pyarrow as pa
+
+    rows = [gen_image_row(i, with_bytes=False) for i in range(n)]
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows]),
+        "caption": pa.array([r["caption"] for r in rows]),
+    })
+    out = CaptionGeoCheck()(t)
+    vals = []
+    for i in range(n):
+        vals.append(
+            f"({_str_lit(out['image_id'][i].as_py())}, "
+            f"{out['cap_lat_e4'][i].as_py()}, {out['cap_lng_e4'][i].as_py()}, "
+            f"{out['geo_lat_e4'][i].as_py()}, {out['geo_lng_e4'][i].as_py()}, "
+            f"{'TRUE' if out['consistent'][i].as_py() else 'FALSE'})")
+    cols = ("image_id, cap_lat_e4, cap_lng_e4, geo_lat_e4, geo_lng_e4, "
+            "consistent")
+    return ("SELECT image_id, CAST(cap_lat_e4 AS BIGINT) AS cap_lat_e4, "
+            "CAST(cap_lng_e4 AS BIGINT) AS cap_lng_e4, "
+            "CAST(geo_lat_e4 AS BIGINT) AS geo_lat_e4, "
+            "CAST(geo_lng_e4 AS BIGINT) AS geo_lng_e4, consistent "
+            "FROM (VALUES " + ", ".join(vals) + f") AS t({cols})")

@@ -615,3 +615,68 @@ def augment_images(_sf_dir: str, n: int = 400):
     from s2geometry_ray.stages.decode import augment_stage
 
     return augment_stage(images_dataset(n), concurrency=2)
+
+
+_CAPTION_RE = r"\((-?[0-9]+\.[0-9]{4}),(-?[0-9]+\.[0-9]{4})\)"
+
+
+def _latlng_e4(v: float) -> int:
+    """e4 fixed-point via the SAME decimal formatting the caption was
+    generated with (format-then-parse on both engine and oracle, so
+    tie-rounding can never diverge)."""
+    import numpy as np
+
+    return int(np.rint(float(f"{v:.4f}") * 10000))
+
+
+class CaptionGeoCheck:
+    """Cross-field VALIDATION: parse the '(lat,lng)' embedded in each
+    caption (compiled RE2-compatible regex, once per actor) and compare
+    against the geotag derived from the image id — the data-quality
+    screen that catches caption/metadata drift in a multimodal corpus.
+    Emits e4 fixed-point ints (bit-exact across engines)."""
+
+    def __init__(self):
+        import re
+
+        self.rx = re.compile(_CAPTION_RE)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        from s2geometry_ray.sources.synth import derive_latlng
+
+        ids = batch["image_id"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        n = len(ids)
+        cap_lat = np.zeros(n, dtype=np.int64)
+        cap_lng = np.zeros(n, dtype=np.int64)
+        ok_parse = np.zeros(n, dtype=bool)
+        geo_lat = np.empty(n, dtype=np.int64)
+        geo_lng = np.empty(n, dtype=np.int64)
+        for i in range(n):  # sha256 id-hash is per-row by construction
+            m = self.rx.search(caps[i])
+            if m:
+                ok_parse[i] = True
+                cap_lat[i] = _latlng_e4(float(m.group(1)))
+                cap_lng[i] = _latlng_e4(float(m.group(2)))
+            la, ln = derive_latlng(ids[i])
+            geo_lat[i] = _latlng_e4(la)
+            geo_lng[i] = _latlng_e4(ln)
+        consistent = ok_parse & (cap_lat == geo_lat) & (cap_lng == geo_lng)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "cap_lat_e4": pa.array(cap_lat), "cap_lng_e4": pa.array(cap_lng),
+            "geo_lat_e4": pa.array(geo_lat), "geo_lng_e4": pa.array(geo_lng),
+            "consistent": pa.array(consistent),
+        })
+
+
+def caption_geo_check_images(_sf_dir: str, n: int = 400):
+    """Caption↔geotag consistency over the synthetic images table
+    (bytes-free read — validation never decodes pixels)."""
+    from s2geometry_ray.sources.synth import images_dataset
+
+    ds = images_dataset(n, with_bytes=False)
+    return ds.map_batches(CaptionGeoCheck, batch_format="pyarrow",
+                          batch_size=128, concurrency=2, num_cpus=1)

@@ -1100,3 +1100,28 @@ def test_augment_stage_matches_driver_recompute(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[ref.columns], ref)
+
+
+def test_caption_geo_check_detects_corruption(ray_session):
+    """All synthetic captions are consistent by construction; a
+    corrupted caption (wrong coords / unparseable) is flagged."""
+    import pyarrow as pa
+
+    from s2geometry_ray.pipelines.extras import CaptionGeoCheck, \
+        caption_geo_check_images
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    out = caption_geo_check_images(None, n=80).to_pandas()
+    assert out["consistent"].all()
+
+    rows = [gen_image_row(i, with_bytes=False) for i in range(3)]
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows]),
+        "caption": pa.array([
+            rows[0]["caption"],                       # intact
+            "busy plaza near (11.1111,-22.2222)",     # wrong coords
+            "no coordinates here at all",             # unparseable
+        ]),
+    })
+    got = CaptionGeoCheck()(t).to_pandas()
+    assert list(got["consistent"]) == [True, False, False]
