@@ -53,6 +53,11 @@ class _TokenCount:
         self.token_re = re.compile(TOKEN_PATTERN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if batch["text"].isna().any():
+            # astype(str) would tokenize a null as the literal "None" —
+            # corrupt offsets beat a loud failure never (the
+            # fingerprint/RCF null policy)
+            raise ValueError("pack/chunk: null text")
         return pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
             "n_tokens": batch["text"].astype(str)

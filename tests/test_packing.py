@@ -151,3 +151,18 @@ def test_pack_unsorted_source_falls_back_and_matches(ray_session, tmp_path):
                 .to_pandas())
     b = _sorted(pack_sequences_docs(SF, budget=96).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_rejects_null_text(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.pipelines.packing import chunk_docs
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                             "text": pa.array(["ok", None])}),
+                   str(d / "documents.parquet"))
+    with pytest.raises(Exception, match="null text"):
+        chunk_docs(str(d)).to_pandas()
