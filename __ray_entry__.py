@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_urgent_revenue": AN.bloom_join_urgent_revenue,
         "json_field_stats_events": AN.json_field_stats_events,
         "corpus_curation_docs": AN.corpus_curation_docs,
+        "training_prep_docs": __import__(
+            "s2geometry_ray.pipelines.training_prep",
+            fromlist=["prepare_training_docs"]).prepare_training_docs,
         "semantic_dedup_embeddings": AN.semantic_dedup_embeddings,
         "pack_sequences_docs": PK.pack_sequences_docs,
         "chunk_docs": PK.chunk_docs,
@@ -515,6 +518,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_urgent_revenue": AN.BLOOM_JOIN_SQL,
         "json_field_stats_events": AN.JSON_FIELD_SQL,
         "corpus_curation_docs": AN.corpus_curation_sql(),
+        "training_prep_docs": __import__(
+            "s2geometry_ray.pipelines.training_prep",
+            fromlist=["prepare_training_sql"]).prepare_training_sql(),
         "semantic_dedup_embeddings": AN.SEMANTIC_DEDUP_SQL,
         "pack_sequences_docs": PK.PACK_SEQUENCES_SQL,
         "chunk_docs": PK.CHUNK_DOCS_SQL,

@@ -868,7 +868,7 @@ def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
 
 def decontaminate(ds, query_texts: list[str], width: int = 5,
                   min_hits: int = 1, key_col: str = "doc_id",
-                  text_col: str = "text"):
+                  text_col: str = "text", append: bool = False):
     """Test-set DECONTAMINATION: flag every document sharing at least
     ``min_hits`` DISTINCT character shingles with a (small) query set —
     the screen a training corpus runs against its benchmark suites
@@ -905,6 +905,9 @@ def decontaminate(ds, query_texts: list[str], width: int = 5,
         hit = first & (qs[pos] == hso)
         n_hits = np.bincount(dio[hit], minlength=len(counts)) \
             .astype(np.int64)
+        if append:  # keep every input column (composition mode)
+            return t.append_column("n_hits", pa.array(n_hits)) \
+                .append_column("contaminated", pa.array(n_hits >= min_hits))
         return pa.table({
             key_col: t[key_col],
             "n_hits": pa.array(n_hits),

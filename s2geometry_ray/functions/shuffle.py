@@ -279,16 +279,11 @@ def mixture_resample(ds, stratum_col: str, weights: dict,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def mixture_resample_sql(stratum_col: str, weights: dict,
-                         default_weight: float = 1.0,
-                         key_col: str = "doc_id", seed: int = 0,
-                         table: str = "documents") -> str:
-    """DuckDB twin: base copies + a bit-exact splitmix stochastic-
-    rounding extra, exploded with generate_series."""
-    sm = _seed_mix(seed)
-    wrapped = (f"CAST(((CAST({key_col} AS HUGEINT) % 18446744073709551616)"
-               f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
-    h = sql_splitmix64(f"xor({wrapped}, {sm})")
+def mixture_n_sql(stratum_col: str, weights: dict,
+                  default_weight: float = 1.0) -> str:
+    """CASE expression for the per-row copy count given a UBIGINT hash
+    column ``hh`` — shared by the standalone twin and composed twins so
+    the stochastic-rounding SQL can never diverge."""
 
     def n_expr(w: float) -> str:
         base = int(np.floor(w))
@@ -301,7 +296,21 @@ def mixture_resample_sql(stratum_col: str, weights: dict,
 
     cases = " ".join(f"WHEN '{s}' THEN {n_expr(w)}"
                      for s, w in weights.items())
-    n = f"CASE {stratum_col} {cases} ELSE {n_expr(default_weight)} END"
+    return f"CASE {stratum_col} {cases} ELSE {n_expr(default_weight)} END"
+
+
+def mixture_resample_sql(stratum_col: str, weights: dict,
+                         default_weight: float = 1.0,
+                         key_col: str = "doc_id", seed: int = 0,
+                         table: str = "documents") -> str:
+    """DuckDB twin: base copies + a bit-exact splitmix stochastic-
+    rounding extra, exploded with generate_series."""
+    sm = _seed_mix(seed)
+    wrapped = (f"CAST(((CAST({key_col} AS HUGEINT) % 18446744073709551616)"
+               f" + 18446744073709551616) % 18446744073709551616 AS UBIGINT)")
+    h = sql_splitmix64(f"xor({wrapped}, {sm})")
+
+    n = mixture_n_sql(stratum_col, weights, default_weight)
     return f"""
 WITH h AS (
   SELECT {key_col}, {stratum_col}, {h} AS hh FROM {table}),

@@ -65,22 +65,14 @@ class _TokenCount:
         })
 
 
-def _token_counts(sf_dir: str, span: int):
-    """Materialized (doc_id, n_tokens, pid) — int-only, ~2 % of the
-    text bytes, reused by both prefix phases so the tokenizer runs
-    exactly once per document."""
+def _token_counts(sf_dir: str):
+    """(doc_id, n_tokens) — int-only, ~2 % of the text bytes; the
+    tokenizer runs exactly once per document (``pack_counts``
+    materializes the result for its two prefix phases)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-
-    def add_pid(t: pa.Table) -> pa.Table:
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "pid", pa.array((did // span).astype(np.int64)))
-
     return ds.map_batches(_TokenCount, concurrency=(1, 8),
-                          batch_format="pandas") \
-             .map_batches(add_pid, batch_format="pyarrow",
-                          batch_size=None).materialize()
+                          batch_format="pandas")
 
 
 def _base_offsets(counts) -> dict[int, int]:
@@ -166,19 +158,6 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
       (doc_id, pack_id, begin_tok = offset of the piece inside its
        pack, n_tok = piece length) — empty documents emit nothing.
 
-    Two physical plans, identical output:
-    - **sorted-source fast path** (auto-detected from per-block stats):
-      when every block is internally sorted and block key ranges are
-      pairwise disjoint — the layout any doc_id-ordered ingest gives —
-      the global prefix sum needs NO shuffle at all: the driver orders
-      the per-block token totals by key range, computes the exclusive
-      prefix, and each block looks up its base by its first key.  This
-      skips Ray's fixed all-to-all setup cost entirely and at scale
-      moves zero rows.
-    - **shuffle fallback**: arbitrary layouts hash-partition the
-      int-only (doc_id, n_tokens, pid) table on key-range pids and
-      cumsum inside each partition.
-
     DuckDB twin: window cumsum + generate_series (PACK_SEQUENCES_SQL).
     """
     from s2geometry_ray.scale import derive_num_parts
@@ -190,7 +169,29 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
         span = max(1, n_docs
                    // derive_num_parts(n_docs, rows_per_part=100_000))
 
-    counts = _token_counts(sf_dir, span)
+    return pack_counts(_token_counts(sf_dir), budget, span,
+                       force_shuffle=force_shuffle)
+
+
+def pack_counts(counts, budget: int, span: int,
+                force_shuffle: bool = False):
+    """The packing core over any (doc_id:int64, n_tokens:int64) counts
+    Dataset — ``doc_id`` is the concatenation ORDER key (callers with
+    composite keys pack them into one int64).
+
+    Two physical plans, identical output:
+    - **sorted-source fast path** (auto-detected from per-block stats):
+      when every block is internally sorted and block key ranges are
+      pairwise disjoint — the layout any key-ordered, order-preserving
+      upstream gives — the global prefix sum needs NO shuffle at all:
+      the driver orders the per-block token totals by key range,
+      computes the exclusive prefix, and each block looks up its base
+      by its first key.
+    - **shuffle fallback**: arbitrary layouts (anything downstream of a
+      hash shuffle) hash-partition the int-only (doc_id, n_tokens, pid)
+      table on key-range pids (width ``span``) and cumsum inside each
+      partition."""
+    counts = counts.materialize()  # two passes: plan stats + emit
 
     if not force_shuffle:
         st = _block_stats(counts).sort_values("mn").reset_index(drop=True)
@@ -217,7 +218,14 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
             return counts.map_batches(emit_fast, batch_format="pyarrow",
                                       batch_size=None)
 
-    base = _base_offsets(counts)  # ≤1024 entries — cheap in the closure
+    def add_pid(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pid", pa.array((did // span).astype(np.int64)))
+
+    keyed = counts.map_batches(add_pid, batch_format="pyarrow",
+                               batch_size=None)
+    base = _base_offsets(keyed)  # ≤1024 entries — cheap in the closure
 
     def emit_pieces(g: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
@@ -227,8 +235,8 @@ def pack_sequences_docs(sf_dir: str, budget: int = _PACK_BUDGET,
             + np.concatenate([[0], np.cumsum(nt)[:-1]])
         return _explode_pieces(did, nt, s, budget)
 
-    return counts.groupby("pid").map_groups(emit_pieces,
-                                            batch_format="pandas")
+    return keyed.groupby("pid").map_groups(emit_pieces,
+                                           batch_format="pandas")
 
 
 def pack_sequences_sql(budget: int = _PACK_BUDGET,

@@ -166,3 +166,32 @@ def test_pack_rejects_null_text(ray_session, tmp_path):
                    str(d / "documents.parquet"))
     with pytest.raises(Exception, match="null text"):
         chunk_docs(str(d)).to_pandas()
+
+
+def test_training_prep_composition_invariants(ray_session):
+    """End-to-end invariants of the composed pipeline: every packed doc
+    survived decontamination + capping, replica multiplicity matches
+    the mixture weights, zh docs appear exactly twice, packs are full,
+    and per-(doc,rep) pieces reassemble the doc's token count."""
+    import pyarrow.parquet as pq
+
+    from s2geometry_ray.pipelines.training_prep import (
+        _TP_BUDGET, _TP_CAP, prepare_training_docs)
+
+    out = prepare_training_docs(SF).to_pandas()
+    meta = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "source"]).to_pandas()
+    lang = meta.set_index("doc_id")["lang"]
+    src = meta.set_index("doc_id")["source"]
+
+    per = out.groupby("doc_id")["rep"].nunique()
+    # zh upsampled exactly 2x (integer weight), en <= 1, others == 1
+    assert (per[lang.loc[per.index] == "zh"] == 2).all()
+    assert (per[lang.loc[per.index] != "zh"] == 1).all()
+    # domain cap respected (count distinct docs per source)
+    docs = out["doc_id"].drop_duplicates()
+    assert (src.loc[docs].value_counts() <= _TP_CAP).all()
+    # packs dense and full except the last
+    fill = out.groupby("pack_id")["n_tok"].sum()
+    assert (fill.iloc[:-1] == _TP_BUDGET).all()
+    assert (out["begin_tok"] + out["n_tok"] <= _TP_BUDGET).all()
