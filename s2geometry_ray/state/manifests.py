@@ -537,3 +537,30 @@ def corpus_curation_partitioned(sf_dir: str, out_dir: str,
             lambda t=sub: pa.Table.from_pandas(t, preserve_index=False))
     return run_partitioned(out_dir, parts, sort_keys=["doc_id"],
                            fail_after=fail_after)
+
+
+def training_prep_partitioned(sf_dir: str, out_dir: str,
+                              num_shards: int = 8,
+                              fail_after: int | None = None
+                              ) -> dict[str, dict]:
+    """The composed training-prep pipeline (pipelines/training_prep)
+    with RESUMABLE per-shard output, sharded by pack_id range so each
+    shard holds whole training sequences: a crashed run re-submits and
+    skips finished shards, byte-identical (the corpus_curation pattern;
+    the piece table is int-only keys, so the materialized slice-and-
+    write loop carries the same bounded footprint)."""
+    from s2geometry_ray.pipelines.training_prep import prepare_training_docs
+
+    names = [f"shard{s:02d}" for s in range(num_shards)]
+    done = finished_partitions(out_dir)
+    if all(n in done for n in names):
+        return done  # fully-finished run: skip the pipeline recompute
+    res = prepare_training_docs(sf_dir).to_pandas()
+    parts = {}
+    for s in range(num_shards):
+        sub = res[res["pack_id"] % num_shards == s].reset_index(drop=True)
+        parts[f"shard{s:02d}"] = (
+            lambda t=sub: pa.Table.from_pandas(t, preserve_index=False))
+    return run_partitioned(
+        out_dir, parts,
+        sort_keys=["pack_id", "doc_id", "rep"], fail_after=fail_after)

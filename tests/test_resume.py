@@ -273,3 +273,34 @@ def test_corpus_curation_resume_byte_identical(ray_session):
         tb = read_output(b)
         assert ta.equals(tb)
         assert ta.num_rows > 0
+
+
+def test_training_prep_resume_byte_identical(ray_session):
+    """Packed-sequence shard writing crashes after 3 shards; the
+    re-submitted run skips them and the final output is byte-identical
+    to an uninterrupted run."""
+    import pytest
+
+    from s2geometry_ray.state.manifests import (
+        finished_partitions,
+        read_output,
+        training_prep_partitioned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        a = os.path.join(tmp, "crashy")
+        b = os.path.join(tmp, "clean")
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            training_prep_partitioned(sf, a, fail_after=3)
+        assert len(finished_partitions(a)) == 3
+        done_a = training_prep_partitioned(sf, a)      # resume
+        done_b = training_prep_partitioned(sf, b)      # fresh
+        assert {k: m["fingerprint"] for k, m in done_a.items()} \
+            == {k: m["fingerprint"] for k, m in done_b.items()}
+        ta = read_output(a)
+        tb = read_output(b)
+        assert ta.equals(tb)
+        assert ta.num_rows > 0
+        # fully-finished short-circuit returns without recompute
+        assert len(training_prep_partitioned(sf, a)) == 8
