@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_geo_check_images": X.caption_geo_check_images,
         "mixture_resample_docs": mixture_resample_docs,
         "decontaminate_docs": decontaminate_docs,
+        "adaptive_tiling_events": X.adaptive_tiling_events,
     }
 
 
@@ -586,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": X.SESSIONIZE_SQL,
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,
         "tile_assign_salted": F.tile_assign_counts_sql(),
+        "adaptive_tiling_events": X.adaptive_tiling_events_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

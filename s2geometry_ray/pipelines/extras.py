@@ -680,3 +680,32 @@ def caption_geo_check_images(_sf_dir: str, n: int = 400):
     ds = images_dataset(n, with_bytes=False)
     return ds.map_batches(CaptionGeoCheck, batch_format="pyarrow",
                           batch_size=128, concurrency=2, num_cpus=1)
+
+
+ADAPTIVE_TILING_ARGS = dict(min_level=2, max_level=4, cap=30)
+
+
+def adaptive_tiling_events(sf_dir: str):
+    """O50 adaptive tiling: the coarsest multi-level S2 cell set where
+    every cell holds <= cap event points (refinement stops at
+    max_level) — the balanced-partition builder.  Value-exact twin:
+    stages.adaptive_tiling.adaptive_tiling_sql recomputes the leaf cell
+    with the pure-SQL S2 kernel and the selection rule with one parent
+    join per level."""
+    from s2geometry_ray.stages.adaptive_tiling import adaptive_tiling
+    from s2geometry_ray.stages.cell_assign import make_geotag_and_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    pts = ds.map_batches(make_geotag_and_assign("event_id", levels=()),
+                         batch_format="pyarrow", batch_size=None)
+    return adaptive_tiling(pts, **ADAPTIVE_TILING_ARGS)
+
+
+def adaptive_tiling_events_sql() -> str:
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+    from s2geometry_ray.stages.adaptive_tiling import adaptive_tiling_sql
+
+    a = ADAPTIVE_TILING_ARGS
+    return adaptive_tiling_sql(derive_lat_sql("event_id"),
+                               derive_lng_sql("event_id"),
+                               a["min_level"], a["max_level"], a["cap"])
