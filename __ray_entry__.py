@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_resample_docs": mixture_resample_docs,
         "decontaminate_docs": decontaminate_docs,
         "adaptive_tiling_events": X.adaptive_tiling_events,
+        "rasterize_density_tiles": X.rasterize_density_tiles,
     }
 
 
@@ -588,6 +589,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_revenue": X.ORDER_PRIORITY_REVENUE_SQL,
         "tile_assign_salted": F.tile_assign_counts_sql(),
         "adaptive_tiling_events": X.adaptive_tiling_events_sql(),
+        "rasterize_density_tiles": __import__(
+            "s2geometry_ray.stages.rasterize",
+            fromlist=["rasterize_density_sql"]).rasterize_density_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -709,3 +709,23 @@ def adaptive_tiling_events_sql() -> str:
     return adaptive_tiling_sql(derive_lat_sql("event_id"),
                                derive_lng_sql("event_id"),
                                a["min_level"], a["max_level"], a["cap"])
+
+
+def rasterize_density_tiles(sf_dir: str, w: int = 16, h: int = 16):
+    """O51 vector→raster: exact per-pixel point counts over each gate
+    tile's W×H grid (the image render over these counts is pytest-
+    verified via the PPM round-trip; the gate checks the counts
+    value-exact against stages.rasterize.rasterize_density_sql)."""
+    import ray
+
+    from s2geometry_ray.pipelines.flagship import _nation_tiles, _points_ds
+    from s2geometry_ray.stages.rasterize import rasterize_density
+    from s2geometry_ray.stages.spatial_join import (CoveringIndex,
+                                                    make_spatial_join_fn)
+
+    index_ref = ray.put(CoveringIndex.build(_nation_tiles(sf_dir),
+                                            max_cells=64, max_level=14))
+    joined = _points_ds(sf_dir).map_batches(
+        make_spatial_join_fn(index_ref, ["event_id", "lat", "lng"]),
+        batch_format="pyarrow", batch_size=None)
+    return rasterize_density(joined, w=w, h=h)

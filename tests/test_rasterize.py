@@ -1,0 +1,76 @@
+"""O51 vector→raster: exact binning vs a scalar recompute, and the
+rendered PPM density image decodes back to the normalized counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from s2geometry_ray.sources.geotag import tile_bounds
+
+W = H = 8
+
+
+@pytest.fixture(scope="module")
+def joined_ds(ray_session):
+    """Synthetic pre-joined rows: 4 tiles × points scattered inside
+    each tile's rect (as the spatial join would emit)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in [0, 3, 7, 12]:
+        b = tile_bounds(np.array([k]))
+        n = 500 + 97 * k
+        lat = rng.uniform(b["lat_lo"][0], b["lat_hi"][0], n)
+        lng = rng.uniform(b["lng_lo"][0], b["lng_hi"][0], n)
+        rows.append(pa.table({
+            "tile_id": pa.array(np.full(n, k, dtype=np.int64)),
+            "lat": pa.array(lat), "lng": pa.array(lng),
+        }))
+    tbl = pa.concat_tables(rows)
+    return rd.from_arrow(tbl).repartition(6).materialize(), tbl
+
+
+def _scalar_bins(tbl: pa.Table):
+    exp: dict[tuple, int] = {}
+    for k, lat, lng in zip(tbl["tile_id"].to_pylist(),
+                           tbl["lat"].to_pylist(), tbl["lng"].to_pylist()):
+        b = tile_bounds(np.array([k]))
+        px = min(int((lng - b["lng_lo"][0]) * W / (b["lng_hi"][0] - b["lng_lo"][0])), W - 1)
+        py = min(int((lat - b["lat_lo"][0]) * H / (b["lat_hi"][0] - b["lat_lo"][0])), H - 1)
+        exp[(k, py, px)] = exp.get((k, py, px), 0) + 1
+    return exp
+
+
+def test_counts_match_scalar(joined_ds):
+    from s2geometry_ray.stages.rasterize import rasterize_density
+
+    ds, tbl = joined_ds
+    out = rasterize_density(ds, w=W, h=H).to_pandas()
+    got = {(int(t), int(y), int(x)): int(n)
+           for t, y, x, n in zip(out.tile_key, out.py, out.px, out.n)}
+    assert got == _scalar_bins(tbl)
+    assert out.n.sum() == len(tbl)
+
+
+def test_ppm_render_roundtrip(joined_ds):
+    from s2geometry_ray.kernels.codecs import decode_ppm
+    from s2geometry_ray.stages.rasterize import (density_images,
+                                                 rasterize_density)
+
+    ds, tbl = joined_ds
+    counts = rasterize_density(ds, w=W, h=H)
+    imgs = density_images(counts, w=W, h=H).to_pandas()
+    cdf = counts.to_pandas()
+    assert set(imgs.tile_key) == set(cdf.tile_key.unique())
+    for _, row in imgs.iterrows():
+        pix = decode_ppm(row["bytes"])
+        assert pix.shape == (H, W, 3)
+        sub = cdf[cdf.tile_key == row.tile_key]
+        grid = np.zeros((H, W), dtype=np.int64)
+        grid[sub.py.to_numpy(), sub.px.to_numpy()] = sub.n.to_numpy()
+        expect = (grid * 255 // max(grid.max(), 1)).astype(np.uint8)
+        assert np.array_equal(pix[:, :, 0], expect)
+        assert np.array_equal(pix[:, :, 0], pix[:, :, 2])
