@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         "adaptive_tiling_events": X.adaptive_tiling_events,
         "rasterize_density_tiles": X.rasterize_density_tiles,
+        "tile_color_stats_images": X.tile_color_stats_images,
     }
 
 
@@ -592,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_density_tiles": __import__(
             "s2geometry_ray.stages.rasterize",
             fromlist=["rasterize_density_sql"]).rasterize_density_sql(),
+        "tile_color_stats_images": G.tile_color_stats_sql(400),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

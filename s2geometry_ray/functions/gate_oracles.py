@@ -646,3 +646,45 @@ def caption_geo_check_sql(n: int = 400) -> str:
             "CAST(geo_lat_e4 AS BIGINT) AS geo_lat_e4, "
             "CAST(geo_lng_e4 AS BIGINT) AS geo_lng_e4, consistent "
             "FROM (VALUES " + ", ".join(vals) + f") AS t({cols})")
+
+
+def tile_color_stats_sql(n: int = 400, n_tiles: int = 12) -> str:
+    """O52 composed image×geo twin: per-image exact integer channel
+    sums recomputed by a driver-side scalar decode (raster_boxes
+    discipline) + the geotag repr'd as an exact float64 literal;
+    rect-tile membership and the per-tile aggregation are RE-DERIVED in
+    SQL.  A bug in the decode actors, the cell assign, the covering
+    join, or the partial aggregation flips a row."""
+    from s2geometry_ray.kernels import codecs
+    from s2geometry_ray.sources.synth import (derive_latlng, gen_image_row,
+                                              image_city_tile_bounds)
+
+    def dbl(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        px = codecs.decode(r["bytes"], r["fmt"]).astype(np.int64)
+        s = px.sum(axis=(0, 1))
+        lat, lng = derive_latlng(r["image_id"])
+        vals.append(f"({dbl(lat)}, {dbl(lng)}, "
+                    f"{int(s[0])}, {int(s[1])}, {int(s[2])})")
+    tiles = []
+    for k in range(n_tiles):
+        b = image_city_tile_bounds(k)
+        tiles.append(f"({k}, {dbl(b['lat_lo'])}, {dbl(b['lat_hi'])}, "
+                     f"{dbl(b['lng_lo'])}, {dbl(b['lng_hi'])})")
+    return f"""
+WITH imgs(lat, lng, r, g, b) AS (VALUES {", ".join(vals)}),
+tiles(tile_key, lat_lo, lat_hi, lng_lo, lng_hi) AS (VALUES {", ".join(tiles)})
+SELECT CAST(t.tile_key AS BIGINT) AS tile_key,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(i.r) AS BIGINT) AS r_sum,
+       CAST(SUM(i.g) AS BIGINT) AS g_sum,
+       CAST(SUM(i.b) AS BIGINT) AS b_sum
+FROM imgs i JOIN tiles t
+  ON i.lat BETWEEN t.lat_lo AND t.lat_hi
+ AND i.lng BETWEEN t.lng_lo AND t.lng_hi
+GROUP BY 1
+"""

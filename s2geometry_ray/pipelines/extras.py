@@ -729,3 +729,60 @@ def rasterize_density_tiles(sf_dir: str, w: int = 16, h: int = 16):
         make_spatial_join_fn(index_ref, ["event_id", "lat", "lng"]),
         batch_format="pyarrow", batch_size=None)
     return rasterize_density(joined, w=w, h=h)
+
+
+N_CITY_TILES = 12
+
+
+def _image_city_tiles():
+    from s2geometry_ray.kernels.regions import RectRegion
+    from s2geometry_ray.sources.synth import image_city_tile_bounds
+
+    out = []
+    for k in range(N_CITY_TILES):
+        b = image_city_tile_bounds(k)
+        out.append((k, RectRegion.from_degrees(
+            b["lat_lo"], b["lat_hi"], b["lng_lo"], b["lng_hi"])))
+    return out
+
+
+def tile_color_stats_images(_sf_dir: str, n: int = 400):
+    """O52 composed image×geo pipeline: decode actor pool (exact integer
+    channel sums + geotag from image_id) → S2 cell assign → covering
+    broadcast spatial join against city rect tiles → per-tile
+    aggregate.  Value-exact twin: gate_oracles.tile_color_stats_sql
+    recomputes per-image sums with a driver-side scalar decode and
+    re-derives membership + aggregation in SQL."""
+    import ray
+
+    from s2geometry_ray.sources.synth import images_dataset
+    from s2geometry_ray.stages.cell_assign import make_cell_assign
+    from s2geometry_ray.stages.decode import GeoColorActor
+    from s2geometry_ray.stages.spatial_join import (CoveringIndex,
+                                                    make_spatial_join_fn)
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    index_ref = ray.put(CoveringIndex.build(_image_city_tiles(),
+                                            max_cells=64, max_level=12))
+    feats = images_dataset(n).map_batches(
+        GeoColorActor, batch_size=128, concurrency=2, num_cpus=1,
+        batch_format="pyarrow")
+    joined = (feats.map_batches(make_cell_assign(levels=()),
+                                batch_format="pyarrow", batch_size=None)
+              .map_batches(make_spatial_join_fn(
+                  index_ref, ["image_id", "r_sum", "g_sum", "b_sum"]),
+                  batch_format="pyarrow", batch_size=None))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("tile_id", as_index=False).agg(
+            n_images=("image_id", "size"), r_sum=("r_sum", "sum"),
+            g_sum=("g_sum", "sum"), b_sum=("b_sum", "sum"))
+        g = g.rename(columns={"tile_id": "tile_key"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+    return combine_partials(partials, "tile_key",
+                            {"n_images": "sum", "r_sum": "sum",
+                             "g_sum": "sum", "b_sum": "sum"})

@@ -150,3 +150,17 @@ def images_table(n: int, with_bytes: bool = True) -> pa.Table:
     """Driver-side (test-sized) images table."""
     rows = [gen_image_row(i, with_bytes) for i in range(n)]
     return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+
+def image_city_tile_bounds(k: int) -> dict[str, float]:
+    """Deterministic rect tile around city k (the image-side gate
+    tiles): ±1.5° around the city center, clamped so gate rects never
+    wrap the antimeridian (wrapping rects are pytest-covered).  Shared
+    by the engine pipeline and the SQL twin so the bounds constants can
+    never drift."""
+    lat_lo = float(np.clip(CITY_LAT[k] - 1.5, -89.9, 89.9))
+    lat_hi = float(np.clip(CITY_LAT[k] + 1.5, -89.9, 89.9))
+    lng_lo = float(max(CITY_LNG[k] - 1.5, -180.0))
+    lng_hi = float(min(CITY_LNG[k] + 1.5, 180.0))
+    return {"lat_lo": lat_lo, "lat_hi": lat_hi,
+            "lng_lo": lng_lo, "lng_hi": lng_hi}

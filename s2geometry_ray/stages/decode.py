@@ -304,3 +304,37 @@ def augment_stage(ds, concurrency: int = 4, batch_size: int = 128):
     return ds.map_batches(AugmentActor, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           num_cpus=1)
+
+
+class GeoColorActor:
+    """Composed image×geo feature stage: decode (per-actor codec state)
+    → exact integer per-channel pixel sums, plus the image's geotag
+    derived from image_id (the north-star 'keyed by per-image geotag
+    points' contract).  Integer sums — not float means — so downstream
+    per-tile aggregation is order-insensitive-exact."""
+
+    def __init__(self):
+        self.decoders = dict(codecs.DECODERS)
+        from s2geometry_ray.sources.synth import derive_latlng
+
+        self._geotag = derive_latlng
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        n = len(data)
+        sums = np.empty((n, 3), dtype=np.int64)
+        lat = np.empty(n)
+        lng = np.empty(n)
+        for i in range(n):
+            pixels = self.decoders[fmts[i]](data[i]).astype(np.int64)
+            sums[i] = pixels.sum(axis=(0, 1))
+            lat[i], lng[i] = self._geotag(ids[i])
+        return pa.table({
+            "image_id": batch["image_id"],
+            "lat": pa.array(lat), "lng": pa.array(lng),
+            "r_sum": pa.array(sums[:, 0], type=pa.int64()),
+            "g_sum": pa.array(sums[:, 1], type=pa.int64()),
+            "b_sum": pa.array(sums[:, 2], type=pa.int64()),
+        })
