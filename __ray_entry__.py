@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_tiling_events": X.adaptive_tiling_events,
         "rasterize_density_tiles": X.rasterize_density_tiles,
         "tile_color_stats_images": X.tile_color_stats_images,
+        "trajectory_distance_users": AN.trajectory_distance_users,
     }
 
 
@@ -594,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             "s2geometry_ray.stages.rasterize",
             fromlist=["rasterize_density_sql"]).rasterize_density_sql(),
         "tile_color_stats_images": G.tile_color_stats_sql(400),
+        "trajectory_distance_users": AN.trajectory_distance_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -1070,3 +1070,92 @@ SELECT term, CAST(count(*) AS BIGINT) AS c
 FROM bg GROUP BY term
 ORDER BY c DESC, term LIMIT {topn}
 """
+
+
+def trajectory_distance_users(sf_dir: str):
+    """O53 per-user trajectory length: the sum of unit-sphere CHORD
+    step lengths between a user's consecutive events (ordered by ts
+    then event_id), carried as e9 integers so the per-user sum is
+    order-insensitive-exact (round first, integer sum after — the
+    engine's standard float policy).  Chord (not arc) is the step
+    metric precisely so the twin shares every IEEE op: the chord² is
+    the knn twin's algebraic expression and sqrt is correctly rounded,
+    whereas atan2/asin are libm-dependent.
+
+    One shuffle (user key): map-only geotag→xyz, hash-partition by
+    user_id, one lexsort + shifted-diff per partition — the
+    rolling-window pattern.  Users with a single event emit nothing
+    (no step), matching the twin's LAG NULL filter."""
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.flagship import _points_ds
+
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_parts = derive_num_parts(n_rows, rows_per_part=100_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lng = t["lng"].to_numpy(zero_copy_only=False)
+        xyz = vk.latlng_to_xyz(lat, lng)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "ts": t["ts"],
+            "event_id": t["event_id"],
+            "px": pa.array(xyz[:, 0]), "py": pa.array(xyz[:, 1]),
+            "pz": pa.array(xyz[:, 2]),
+            "part": pa.array(uid % num_parts),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        P = np.stack([g["px"].to_numpy(), g["py"].to_numpy(),
+                      g["pz"].to_numpy()], axis=1)
+        order = np.lexsort((eid, ts, uid))
+        uid, P = uid[order], P[order]
+        same = uid[1:] == uid[:-1]
+        dx = P[1:, 0] - P[:-1, 0]
+        dy = P[1:, 1] - P[:-1, 1]
+        dz = P[1:, 2] - P[:-1, 2]
+        v = np.sqrt(dx * dx + dy * dy + dz * dz) * 1000000000.0
+        e9 = np.rint(v[same]).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid[1:][same], "e9": e9})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_steps=("e9", "size"), chord_e9=("e9", "sum"))
+        return out
+
+    pts = _points_ds(sf_dir, extra_cols=("user_id", "ts"))
+    return (pts.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+def trajectory_distance_sql() -> str:
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    lat = derive_lat_sql("event_id")
+    lng = derive_lng_sql("event_id")
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         cos(radians({lat})) * cos(radians({lng})) AS px,
+         cos(radians({lat})) * sin(radians({lng})) AS py,
+         sin(radians({lat})) AS pz
+  FROM events),
+l AS (
+  SELECT user_id, px, py, pz,
+         LAG(px) OVER w AS qx, LAG(py) OVER w AS qy, LAG(pz) OVER w AS qz
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT user_id,
+         sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)
+              + (pz - qz) * (pz - qz)) * 1000000000.0 AS v
+  FROM l WHERE qx IS NOT NULL)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(SUM(CAST(floor(v) AS BIGINT)
+                + CASE WHEN v - floor(v) > 0.5 THEN 1
+                       WHEN v - floor(v) = 0.5 THEN CAST(floor(v) AS BIGINT) % 2
+                       ELSE 0 END) AS BIGINT) AS chord_e9
+FROM s GROUP BY 1
+"""

@@ -431,3 +431,42 @@ def test_curation_no_near_dups_at_all(ray_session):
                 f"FROM '{tmp}/documents.parquet'")
         a = _cmp_sql(got, con, A.corpus_curation_sql())
     assert set(a["doc_id"]) == {0, 1, 2}
+
+
+def test_trajectory_distance_semantics(ray_session, tmp_path):
+    """O53: step ordering is (ts, event_id), single-event users emit
+    nothing, and the e9 sum matches a scalar recompute."""
+    import pyarrow.parquet as pq2
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.analytics import trajectory_distance_users
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    # 3 users: u1 has 3 events (one ts tie broken by event_id), u2 has
+    # 1 event (must not appear), u3 has 2
+    eids = np.array([10, 11, 12, 20, 30, 31], dtype=np.int64)
+    uids = np.array([1, 1, 1, 2, 3, 3], dtype=np.int64)
+    ts = np.array([100, 100, 200, 50, 10, 5], dtype="datetime64[us]")
+    tbl = pa.table({"event_id": pa.array(eids), "user_id": pa.array(uids),
+                    "ts": pa.array(ts),
+                    "value": pa.array(np.zeros(6))})
+    pq2.write_table(tbl, tmp_path / "events.parquet")
+    out = trajectory_distance_users(str(tmp_path)).to_pandas()
+    out = out.set_index("user_id").sort_index()
+    assert list(out.index) == [1, 3]
+
+    def step(a, b):
+        xa = vk.latlng_to_xyz(derive_lat(np.array([a])), derive_lng(np.array([a])))[0]
+        xb = vk.latlng_to_xyz(derive_lat(np.array([b])), derive_lng(np.array([b])))[0]
+        d = xb - xa
+        return int(np.rint(np.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+                           * 1e9))
+
+    # u1 order: (100,10) -> (100,11) -> (200,12); u3 order: ts 5 then 10
+    assert out.loc[1, "chord_e9"] == step(10, 11) + step(11, 12)
+    assert out.loc[1, "n_steps"] == 2
+    assert out.loc[3, "chord_e9"] == step(31, 30)
+    assert out.loc[3, "n_steps"] == 1
