@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_density_tiles": X.rasterize_density_tiles,
         "tile_color_stats_images": X.tile_color_stats_images,
         "trajectory_distance_users": AN.trajectory_distance_users,
+        "colocation_pairs_users": AN.colocation_pairs_users,
     }
 
 
@@ -596,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["rasterize_density_sql"]).rasterize_density_sql(),
         "tile_color_stats_images": G.tile_color_stats_sql(400),
         "trajectory_distance_users": AN.trajectory_distance_sql(),
+        "colocation_pairs_users": AN.colocation_pairs_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

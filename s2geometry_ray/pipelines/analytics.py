@@ -1159,3 +1159,125 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
                        ELSE 0 END) AS BIGINT) AS chord_e9
 FROM s GROUP BY 1
 """
+
+
+_COLOC_LEVEL = 5
+_US_PER_DAY_AN = 86_400_000_000
+
+
+def colocation_pairs_users(sf_dir: str, level: int = _COLOC_LEVEL,
+                           max_users_per_bucket: int = 4096):
+    """O54 co-location pairs (spatio-temporal self-join): user pairs
+    with events in the SAME level-``level`` cell on the SAME day;
+    ``n_cobuckets`` = number of distinct shared (cell, day) buckets.
+
+    Plan (two bounded exchanges, no payload ever moves):
+      1. map: geotag → cell prefix; bucket = cell_bits | day (a level-17
+         -or-coarser parent has bits 0..2·(30−17)−1 zero, so the day
+         packs into the id's low bits losslessly); per-batch DISTINCT
+         (bucket, user) — the co-visitation dedup happens map-side.
+      2. bucket-key shuffle → per-partition global distinct + sorted
+         per-bucket pair triangles (vectorized repeat/cumsum explode —
+         users sorted in-bucket so user_a < user_b by construction).
+         A bucket over ``max_users_per_bucket`` raises loudly
+         (quadratic blowup — coarsen the level or shrink the window).
+      3. pair-key shuffle of (pair, partial n) only → per-pair sum.
+
+    The DuckDB twin recomputes the cell with the pure-SQL S2 kernel and
+    the pairs with a DISTINCT self-join."""
+    from s2geometry_ray.pipelines.flagship import _points_ds
+
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    num_parts = derive_num_parts(n_rows, rows_per_part=200_000)
+    if level > 17:
+        raise ValueError("level > 17 collides with the packed day bits")
+
+    from s2geometry_ray.kernels import cellid as vk
+
+    def buckets(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cell = vk.parent(cid, level).view(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        day = ts // _US_PER_DAY_AN
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = cell | day
+        bu = np.unique(np.stack([bucket, uid], axis=1), axis=0)
+        part = ((bu[:, 0].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)).astype(np.int64) % num_parts
+        return pa.table({
+            "bucket": pa.array(bu[:, 0], type=pa.int64()),
+            "user_id": pa.array(bu[:, 1], type=pa.int64()),
+            "part": pa.array(part, type=pa.int64()),
+        })
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        bu = np.unique(np.stack([g["bucket"].to_numpy(np.int64),
+                                 g["user_id"].to_numpy(np.int64)],
+                                axis=1), axis=0)
+        bucket, user = bu[:, 0], bu[:, 1]
+        if user.size and (user.min() < 0 or user.max() >= (1 << 31)):
+            raise ValueError("user ids must be non-negative 31-bit ints "
+                             "for pair packing")
+        # run boundaries per bucket (rows are sorted by (bucket, user))
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        run_id = np.cumsum(np.r_[True, bucket[1:] != bucket[:-1]]) - 1
+        run_len = np.diff(np.r_[starts, bucket.size])
+        if run_len.size and run_len.max() > max_users_per_bucket:
+            raise ValueError(
+                f"co-location bucket holds {int(run_len.max())} users > "
+                f"{max_users_per_bucket}: coarsen the cell level or "
+                f"shrink the time window")
+        o = np.arange(bucket.size, dtype=np.int64) - starts[run_id]
+        tot = int(o.sum())
+        if not tot:
+            return pd.DataFrame({"pair": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        first = np.cumsum(o) - o
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(first, o)
+        ua = user[np.repeat(starts[run_id], o) + pos]
+        ub = np.repeat(user, o)
+        pair = ua * (1 << 32) + ub
+        keys, counts = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": keys, "n": counts.astype(np.int64)})
+
+    def add_part2(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        part2 = ((p.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(29)).astype(np.int64) % num_parts
+        return t.append_column("part2", pa.array(part2, type=pa.int64()))
+
+    def pair_totals(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", as_index=False)["n"].sum()
+        p = s["pair"].to_numpy(np.int64)
+        return pd.DataFrame({"user_a": p >> 32, "user_b": p & ((1 << 32) - 1),
+                             "n_cobuckets": s["n"].to_numpy(np.int64)})
+
+    pts = _points_ds(sf_dir, extra_cols=("user_id", "ts"))
+    pairs = (pts.map_batches(buckets, batch_format="pyarrow", batch_size=None)
+             .groupby("part").map_groups(pair_partials, batch_format="pandas"))
+    return (pairs.map_batches(add_part2, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("part2").map_groups(pair_totals, batch_format="pandas"))
+
+
+def colocation_pairs_sql(level: int = _COLOC_LEVEL) -> str:
+    from s2geometry_ray.functions.cellid_sql import cell_id_ctes, parent_sql
+    from s2geometry_ray.pipelines.tpch import _floor_div_day_sql
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    ctes = cell_id_ctes(
+        derive_lat_sql("event_id"), derive_lng_sql("event_id"),
+        extra_cols=", user_id, day",
+        extra_select=(", user_id, "
+                      f"{_floor_div_day_sql('epoch_us(ts)')} AS day"))
+    return ctes + f""",
+b AS (SELECT DISTINCT user_id, {parent_sql('cell_id', level)} AS cell, day
+      FROM cell)
+SELECT CAST(a.user_id AS BIGINT) AS user_a,
+       CAST(c.user_id AS BIGINT) AS user_b,
+       CAST(count(*) AS BIGINT) AS n_cobuckets
+FROM b a JOIN b c
+  ON a.cell = c.cell AND a.day = c.day AND a.user_id < c.user_id
+GROUP BY 1, 2
+"""

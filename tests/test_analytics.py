@@ -470,3 +470,48 @@ def test_trajectory_distance_semantics(ray_session, tmp_path):
     assert out.loc[1, "n_steps"] == 2
     assert out.loc[3, "chord_e9"] == step(31, 30)
     assert out.loc[3, "n_steps"] == 1
+
+
+def test_colocation_pairs_semantics(ray_session, tmp_path):
+    """O54: distinct-bucket co-occurrence counts vs a brute recompute;
+    within-bucket duplicate events of one user count once; oversized
+    buckets raise."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.analytics import (_US_PER_DAY_AN,
+                                                    colocation_pairs_users)
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    rng = np.random.default_rng(5)
+    n = 600
+    eids = np.arange(n, dtype=np.int64)
+    uids = rng.integers(0, 12, n).astype(np.int64)
+    ts = (rng.integers(0, 10, n) * _US_PER_DAY_AN
+          + rng.integers(0, _US_PER_DAY_AN, n)).astype("datetime64[us]")
+    tbl = pa.table({"event_id": pa.array(eids), "user_id": pa.array(uids),
+                    "ts": pa.array(ts), "value": pa.array(np.zeros(n))})
+    pq2.write_table(tbl, tmp_path / "events.parquet")
+
+    out = colocation_pairs_users(str(tmp_path), level=3).to_pandas()
+    got = {(int(r.user_a), int(r.user_b)): int(r.n_cobuckets)
+           for r in out.itertuples()}
+
+    cell = vk.parent(vk.from_latlng(derive_lat(eids), derive_lng(eids)), 3)
+    day = ts.view(np.int64) // _US_PER_DAY_AN
+    buckets: dict[tuple, set] = {}
+    for u, c, d in zip(uids, cell, day):
+        buckets.setdefault((int(c), int(d)), set()).add(int(u))
+    exp: dict[tuple, int] = {}
+    for users in buckets.values():
+        for a, b in itertools.combinations(sorted(users), 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert got == exp
+    assert max(got.values()) > 1  # multi-bucket pairs exercised
+
+    with pytest.raises(Exception, match="users >"):
+        colocation_pairs_users(str(tmp_path), level=0,
+                               max_users_per_bucket=3).to_pandas()
