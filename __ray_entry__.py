@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_color_stats_images": X.tile_color_stats_images,
         "trajectory_distance_users": AN.trajectory_distance_users,
         "colocation_pairs_users": AN.colocation_pairs_users,
+        "cell_pyramid_events": AN.cell_pyramid_events,
     }
 
 
@@ -598,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_color_stats_images": G.tile_color_stats_sql(400),
         "trajectory_distance_users": AN.trajectory_distance_sql(),
         "colocation_pairs_users": AN.colocation_pairs_sql(),
+        "cell_pyramid_events": AN.cell_pyramid_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -1281,3 +1281,65 @@ FROM b a JOIN b c
   ON a.cell = c.cell AND a.day = c.day AND a.user_id < c.user_id
 GROUP BY 1, 2
 """
+
+
+def cell_pyramid_events(sf_dir: str, min_level: int = 0, max_level: int = 6):
+    """O55 aggregation pyramid: event counts + exact value cents at
+    EVERY level in [min_level, max_level] — the multi-resolution tile
+    pyramid a map service serves (each zoom level is one slice).
+
+    Map-only + bounded combine: each batch emits one (ancestor, n,
+    cents) row per distinct ancestor per level — the ancestor id
+    encodes its own level, so a single packed uint64 key carries the
+    whole pyramid (the O50 trick); cardinality ≤ Σ_L min(6·4^L, N)."""
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    levels = tuple(range(min_level, max_level + 1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        anc = np.concatenate([vk.parent(cid, lv) for lv in levels])
+        c_all = np.tile(cents, len(levels))
+        df = pd.DataFrame({"cell_bits": anc.view(np.int64), "c": c_all})
+        g = df.groupby("cell_bits", as_index=False).agg(
+            n=("c", "size"), cents=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pts = _points_ds(sf_dir, extra_cols=("value",))
+    out = combine_partials(
+        pts.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "cell_bits", {"n": "sum", "cents": "sum"})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cells = t["cell_bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "cell_id": pa.array(cells, type=pa.uint64()),
+            "level": pa.array(vk.level(cells), type=pa.int64()),
+            "n": t["n"],
+            "value_cents": t["cents"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cell_pyramid_sql(min_level: int = 0, max_level: int = 6) -> str:
+    from s2geometry_ray.functions.cellid_sql import cell_id_ctes, parent_sql
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    ctes = cell_id_ctes(
+        derive_lat_sql("event_id"), derive_lng_sql("event_id"),
+        extra_cols=", cents",
+        extra_select=", CAST(ROUND(value * 100) AS BIGINT) AS cents")
+    sels = []
+    for lv in range(min_level, max_level + 1):
+        sels.append(f"""
+SELECT {parent_sql('cell_id', lv)} AS cell_id,
+       CAST({lv} AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM cell GROUP BY 1""")
+    return ctes + " UNION ALL ".join(sels)

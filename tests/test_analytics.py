@@ -515,3 +515,32 @@ def test_colocation_pairs_semantics(ray_session, tmp_path):
     with pytest.raises(Exception, match="users >"):
         colocation_pairs_users(str(tmp_path), level=0,
                                max_users_per_bucket=3).to_pandas()
+
+
+def test_cell_pyramid_invariants(ray_session, tmp_path):
+    """O55: every level slice partitions N exactly, and each parent's
+    count equals the sum of its children one level down."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.analytics import cell_pyramid_events
+
+    n = 4000
+    eids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"event_id": pa.array(eids),
+                    "user_id": pa.array(eids % 7),
+                    "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+                    "value": pa.array(np.ones(n) * 0.25)})
+    pq2.write_table(tbl, tmp_path / "events.parquet")
+    out = cell_pyramid_events(str(tmp_path), min_level=1,
+                              max_level=4).to_pandas()
+    for lv in range(1, 5):
+        sl = out[out.level == lv]
+        assert sl.n.sum() == n
+        assert sl.value_cents.sum() == n * 25
+    kids = out[out.level == 4].copy()
+    kids["p"] = vk.parent(kids.cell_id.to_numpy().astype(np.uint64), 3)
+    rolled = kids.groupby("p")["n"].sum()
+    parents = out[out.level == 3].set_index("cell_id")["n"]
+    assert rolled.sort_index().equals(parents.sort_index())
