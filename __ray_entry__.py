@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_distance_users": AN.trajectory_distance_users,
         "colocation_pairs_users": AN.colocation_pairs_users,
         "cell_pyramid_events": AN.cell_pyramid_events,
+        "curate_images": __import__(
+            "s2geometry_ray.pipelines.image_curation",
+            fromlist=["curate_images"]).curate_images,
     }
 
 
@@ -600,6 +603,9 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_distance_users": AN.trajectory_distance_sql(),
         "colocation_pairs_users": AN.colocation_pairs_sql(),
         "cell_pyramid_events": AN.cell_pyramid_sql(),
+        "curate_images": __import__(
+            "s2geometry_ray.pipelines.image_curation",
+            fromlist=["curate_images_sql"]).curate_images_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -338,3 +338,43 @@ class GeoColorActor:
             "g_sum": pa.array(sums[:, 1], type=pa.int64()),
             "b_sum": pa.array(sums[:, 2], type=pa.int64()),
         })
+
+
+class CurateActor:
+    """Image-curation feature stage: decode (per-actor codec state) →
+    recomputed phash VERIFIED against the stored stamp (raises on any
+    codec/hash drift — the north-star per-row invariant), integer
+    milli-brightness, id-derived geotag, and the integer image key.
+    Emits only small typed features; pixels never leave the actor."""
+
+    def __init__(self):
+        self.decoders = dict(codecs.DECODERS)
+        from s2geometry_ray.sources.synth import derive_latlng
+
+        self._geotag = derive_latlng
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        stored = batch["phash"].to_numpy(zero_copy_only=False)
+        n = len(data)
+        ikey = np.empty(n, dtype=np.int64)
+        ph = np.empty(n, dtype=np.int64)
+        bmilli = np.empty(n, dtype=np.int64)
+        lat = np.empty(n)
+        lng = np.empty(n)
+        for i in range(n):
+            pixels = self.decoders[fmts[i]](data[i])
+            ph[i] = phash64_i64(pixels)
+            if ph[i] != stored[i]:
+                raise ValueError(f"phash verify failed for {ids[i]}")
+            s = int(pixels.astype(np.int64).sum())
+            bmilli[i] = s * 1000 // (3 * pixels.shape[0] * pixels.shape[1])
+            ikey[i] = int(ids[i][3:])
+            lat[i], lng[i] = self._geotag(ids[i])
+        return pa.table({
+            "ikey": pa.array(ikey), "phash": pa.array(ph),
+            "bmilli": pa.array(bmilli),
+            "lat": pa.array(lat), "lng": pa.array(lng),
+        })
