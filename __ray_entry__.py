@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_images": __import__(
             "s2geometry_ray.pipelines.image_curation",
             fromlist=["curate_images"]).curate_images,
+        "covering_overlap_tiles": X.covering_overlap_tiles,
     }
 
 
@@ -606,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_images": __import__(
             "s2geometry_ray.pipelines.image_curation",
             fromlist=["curate_images_sql"]).curate_images_sql(),
+        "covering_overlap_tiles": X.covering_overlap_tiles_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

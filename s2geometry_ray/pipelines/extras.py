@@ -786,3 +786,57 @@ def tile_color_stats_images(_sf_dir: str, n: int = 400):
     return combine_partials(partials, "tile_key",
                             {"n_images": "sum", "r_sum": "sum",
                              "g_sum": "sum", "b_sum": "sum"})
+
+
+def _city_cap_tiles():
+    """Cap regions around the same city centers as the rect tiles
+    (radius 2.5°) — caps and rects overlap heavily by construction, so
+    the overlap join has a dense fixture; also exercises CapRegion
+    through the coverer inside this operator."""
+    import math
+
+    from s2geometry_ray.kernels.regions import CapRegion
+    from s2geometry_ray.sources.synth import CITY_LAT, CITY_LNG
+
+    return [(k, CapRegion.from_latlng_radius(
+        float(CITY_LAT[k]), float(CITY_LNG[k]), math.radians(2.5)))
+        for k in range(N_CITY_TILES)]
+
+
+def covering_overlap_tiles(sf_dir: str):
+    """O57 cell-union overlap join: exact shared-leaf counts between
+    every city CAP covering and every city RECT covering that
+    intersect.  The cap-side exploded covering STREAMS as a Dataset;
+    the rect side broadcasts once; the SQL twin re-derives the overlap
+    join + sum from the same pinned coverings in UBIGINT arithmetic."""
+    from s2geometry_ray.stages.covering_overlap import (covering_overlap,
+                                                        exploded_covering)
+
+    key, _cell, lo, hi = exploded_covering(_city_cap_tiles())
+    cov_a = rd.from_arrow(pa.table({
+        "tile_key": pa.array(key, type=pa.int64()),
+        "lo": pa.array(lo.view(np.int64), type=pa.int64()),
+        "hi": pa.array(hi.view(np.int64), type=pa.int64()),
+    })).repartition(4)
+    return covering_overlap(cov_a, _image_city_tiles())
+
+
+def covering_overlap_tiles_sql(sf_dir_hint: str = "") -> str:
+    # the gate tiles are SF-independent (city keys 0..11 on both sides)
+    from s2geometry_ray.stages.covering_overlap import (covering_values_sql,
+                                                        exploded_covering)
+
+    ka, _c, la, ha = exploded_covering(_city_cap_tiles())
+    kb, _c2, lb, hb = exploded_covering(_image_city_tiles())
+    va = covering_values_sql(ka, la, ha, "ca")
+    vb = covering_values_sql(kb, lb, hb, "cb")
+    return f"""
+SELECT CAST(ca.tile AS BIGINT) AS tile_a,
+       CAST(cb.tile AS BIGINT) AS tile_b,
+       CAST(SUM(CAST(least(ca.hi, cb.hi) - greatest(ca.lo, cb.lo)
+                     + CAST(1 AS UBIGINT) AS HUGEINT)) AS BIGINT)
+         AS overlap_leafs
+FROM {va} JOIN {vb}
+  ON ca.lo <= cb.hi AND cb.lo <= ca.hi
+GROUP BY 1, 2
+"""

@@ -74,3 +74,40 @@ def test_ppm_render_roundtrip(joined_ds):
         expect = (grid * 255 // max(grid.max(), 1)).astype(np.uint8)
         assert np.array_equal(pix[:, :, 0], expect)
         assert np.array_equal(pix[:, :, 0], pix[:, :, 2])
+
+
+def test_covering_overlap_matches_brute(ray_session):
+    """O57: streamed searchsorted overlap join == brute O(A·B) range
+    intersection on hand-built coverings (partial, nested-level,
+    identical and disjoint range cases)."""
+    import itertools
+
+    import ray.data as rd
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.kernels.regions import CapRegion, RectRegion
+    from s2geometry_ray.stages.covering_overlap import (covering_overlap,
+                                                        exploded_covering)
+
+    rects = [(k, RectRegion.from_degrees(-10.0 + 3 * k, 5.0 + 3 * k,
+                                         -20.0, 15.0)) for k in range(4)]
+    caps = [(k, CapRegion.from_latlng_radius(-2.0 + 4 * k, -1.0,
+                                             np.radians(6.0)))
+            for k in range(3)]
+    ka, _c, la, ha = exploded_covering(caps)
+    kb, _c2, lb, hb = exploded_covering(rects)
+    ds = rd.from_arrow(pa.table({
+        "tile_key": pa.array(ka), "lo": pa.array(la.view(np.int64)),
+        "hi": pa.array(ha.view(np.int64)),
+    })).repartition(3)
+    out = covering_overlap(ds, rects).to_pandas()
+    got = {(int(r.tile_a), int(r.tile_b)): int(r.overlap_leafs)
+           for r in out.itertuples()}
+    exp: dict[tuple, int] = {}
+    for i, j in itertools.product(range(ka.size), range(kb.size)):
+        lo = max(int(la[i]), int(lb[j]))
+        hi = min(int(ha[i]), int(hb[j]))
+        if lo <= hi:
+            key = (int(ka[i]), int(kb[j]))
+            exp[key] = exp.get(key, 0) + (hi - lo + 1)
+    assert got == exp and len(exp) >= 6
