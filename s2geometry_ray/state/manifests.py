@@ -564,3 +564,29 @@ def training_prep_partitioned(sf_dir: str, out_dir: str,
     return run_partitioned(
         out_dir, parts,
         sort_keys=["pack_id", "doc_id", "rep"], fail_after=fail_after)
+
+
+def image_curation_partitioned(out_dir: str, n_images: int = 400,
+                               fail_after: int | None = None
+                               ) -> dict[str, dict]:
+    """The composed image-curation pipeline (pipelines/image_curation)
+    with RESUMABLE per-shard output: survivors are keys+features only
+    (ikey, cell_id, bmilli, shard — pixels never leave the decode
+    actors), sharded by the pipeline's own deterministic splitmix
+    shard.  A crashed run re-submits, skips finished shards, and
+    reproduces byte-identical output (the corpus_curation pattern)."""
+    from s2geometry_ray.pipelines.image_curation import (N_SHARDS,
+                                                         curate_images)
+
+    names = [f"shard{s:02d}" for s in range(N_SHARDS)]
+    done = finished_partitions(out_dir)
+    if all(n in done for n in names):
+        return done  # fully-finished run: skip the pipeline recompute
+    res = curate_images("", n=n_images).to_pandas()
+    parts = {}
+    for s in range(N_SHARDS):
+        sub = res[res["shard"] == s].reset_index(drop=True)
+        parts[f"shard{s:02d}"] = (
+            lambda t=sub: pa.Table.from_pandas(t, preserve_index=False))
+    return run_partitioned(out_dir, parts, sort_keys=["ikey"],
+                           fail_after=fail_after)

@@ -304,3 +304,30 @@ def test_training_prep_resume_byte_identical(ray_session):
         assert ta.num_rows > 0
         # fully-finished short-circuit returns without recompute
         assert len(training_prep_partitioned(sf, a)) == 8
+
+
+def test_image_curation_resume_byte_identical(ray_session):
+    """Curated-image shard writing crashes after 3 shards; the
+    re-submitted run skips them and the final output is byte-identical
+    to an uninterrupted run."""
+    import pytest
+
+    from s2geometry_ray.state.manifests import (
+        finished_partitions,
+        image_curation_partitioned,
+        read_output,
+    )
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        a = os.path.join(tmp, "crashy")
+        b = os.path.join(tmp, "clean")
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            image_curation_partitioned(a, n_images=120, fail_after=3)
+        assert len(finished_partitions(a)) == 3
+        done_a = image_curation_partitioned(a, n_images=120)   # resume
+        done_b = image_curation_partitioned(b, n_images=120)   # fresh
+        assert {k: m["fingerprint"] for k, m in done_a.items()} \
+            == {k: m["fingerprint"] for k, m in done_b.items()}
+        ta = read_output(a)
+        assert ta.equals(read_output(b))
+        assert ta.num_rows > 0
