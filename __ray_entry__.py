@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "s2geometry_ray.pipelines.image_curation",
             fromlist=["curate_images"]).curate_images,
         "covering_overlap_tiles": X.covering_overlap_tiles,
+        "patch_features_images": X.patch_features_images,
     }
 
 
@@ -608,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
             "s2geometry_ray.pipelines.image_curation",
             fromlist=["curate_images_sql"]).curate_images_sql(),
         "covering_overlap_tiles": X.covering_overlap_tiles_sql(),
+        "patch_features_images": G.patch_features_sql(300),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -688,3 +688,30 @@ FROM imgs i JOIN tiles t
  AND i.lng BETWEEN t.lng_lo AND t.lng_hi
 GROUP BY 1
 """
+
+
+def patch_features_sql(n: int = 300, grid: int = 4) -> str:
+    """O58 twin: every (image, patch) sum recomputed by a driver-side
+    scalar decode over the same deterministic pixels (the raster_boxes
+    discipline) — a drift in any codec, the grid edges, or the actor
+    explode flips a row."""
+    from s2geometry_ray.kernels import codecs
+    from s2geometry_ray.sources.synth import gen_image_row
+
+    P = grid
+    vals = []
+    for i in range(n):
+        r = gen_image_row(i, with_bytes=True)
+        px = codecs.decode(r["bytes"], r["fmt"]).astype(np.int64)
+        h, w = px.shape[:2]
+        ye = [y * h // P for y in range(P + 1)]
+        xe = [x * w // P for x in range(P + 1)]
+        for yy in range(P):
+            for xx in range(P):
+                blk = px[ye[yy]:ye[yy + 1], xe[xx]:xe[xx + 1]]
+                vals.append(f"({i}, {yy}, {xx}, {int(blk.sum())}, "
+                            f"{blk.shape[0] * blk.shape[1]})")
+    return ("SELECT CAST(ikey AS BIGINT) AS ikey, CAST(py AS BIGINT) AS py, "
+            "CAST(px AS BIGINT) AS px, CAST(psum AS BIGINT) AS psum, "
+            "CAST(npix AS BIGINT) AS npix FROM (VALUES " + ", ".join(vals)
+            + ") AS t(ikey, py, px, psum, npix)")

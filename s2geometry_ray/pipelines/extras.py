@@ -840,3 +840,17 @@ FROM {va} JOIN {vb}
   ON ca.lo <= cb.hi AND cb.lo <= ca.hi
 GROUP BY 1, 2
 """
+
+
+def patch_features_images(_sf_dir: str, n: int = 300, grid: int = 4):
+    """O58 patchify: every image explodes into a P×P grid of patch rows
+    with exact integer channel sums (the ViT patch-embedding
+    preprocessing shape); actor-pool decode, pixels never shuffle.
+    Twin: driver-side scalar decode recomputes every patch sum
+    (gate_oracles.patch_features_sql)."""
+    from s2geometry_ray.sources.synth import images_dataset
+    from s2geometry_ray.stages.decode import PatchActor
+
+    return images_dataset(n).map_batches(
+        PatchActor, fn_constructor_kwargs=dict(grid=grid),
+        batch_size=128, concurrency=2, num_cpus=1, batch_format="pyarrow")

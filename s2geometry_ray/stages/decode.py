@@ -378,3 +378,43 @@ class CurateActor:
             "bmilli": pa.array(bmilli),
             "lat": pa.array(lat), "lng": pa.array(lng),
         })
+
+
+class PatchActor:
+    """O58 ViT-style patchify: decode → fixed P×P grid of patches per
+    image (integer box edges floor(i·h/P)) → one row per patch with
+    exact integer channel sums + pixel count.  The downstream embedding
+    step would consume patches; here the engine emits the exact sums so
+    the gate can pin every patch value (pixels never leave the actor)."""
+
+    def __init__(self, grid: int = 4):
+        self.decoders = dict(codecs.DECODERS)
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        P = self.grid
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        ikey, py, px, psum, npix = [], [], [], [], []
+        for i in range(len(data)):
+            pixels = self.decoders[fmts[i]](data[i]).astype(np.int64)
+            h, w = pixels.shape[:2]
+            k = int(ids[i][3:])
+            ye = [y * h // P for y in range(P + 1)]
+            xe = [x * w // P for x in range(P + 1)]
+            for yy in range(P):
+                for xx in range(P):
+                    blk = pixels[ye[yy]:ye[yy + 1], xe[xx]:xe[xx + 1]]
+                    ikey.append(k)
+                    py.append(yy)
+                    px.append(xx)
+                    psum.append(int(blk.sum()))
+                    npix.append(blk.shape[0] * blk.shape[1])
+        return pa.table({
+            "ikey": pa.array(ikey, type=pa.int64()),
+            "py": pa.array(py, type=pa.int64()),
+            "px": pa.array(px, type=pa.int64()),
+            "psum": pa.array(psum, type=pa.int64()),
+            "npix": pa.array(npix, type=pa.int64()),
+        })

@@ -57,3 +57,20 @@ def test_geocolor_actor_scalar_parity():
         assert [row.r_sum, row.g_sum, row.b_sum] == list(s)
         lat, lng = derive_latlng(r["image_id"])
         assert row.lat == lat and row.lng == lng
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patchify_partitions_every_pixel():
+    """O58: for every image the P×P patches tile the pixel grid exactly
+    (npix sums to w·h; patch sums reassemble the full-image sum),
+    including odd sizes where integer box edges differ per patch."""
+    from s2geometry_ray.pipelines.extras import patch_features_images
+
+    out = patch_features_images("", n=40, grid=4).to_pandas()
+    assert len(out) == 40 * 16
+    for i in range(0, 40, 7):
+        r = gen_image_row(i, with_bytes=True)
+        px = codecs.decode(r["bytes"], r["fmt"]).astype(np.int64)
+        sub = out[out.ikey == i]
+        assert sub.npix.sum() == px.shape[0] * px.shape[1]
+        assert sub.psum.sum() == int(px.sum())
