@@ -288,3 +288,52 @@ def test_polygon_boolean_affine_nonconvex_property(lat0, lng0, scale,
         got = (np.zeros(len(pts), dtype=bool) if res is None
                else res.contains_points(pts))
         assert (got[margin] == want[margin]).all()
+
+
+# ---------------------------------------------------------------------------
+# O50 adaptive tiling selection rule (pure kernel, no Ray): random point
+# clouds with random level windows — the selected cells are always a
+# disjoint total partition of the points, and counts respect the cap
+# except exactly at max_level.
+# ---------------------------------------------------------------------------
+
+from hypothesis import strategies as _st
+
+
+@settings(max_examples=40, deadline=None)
+@given(_st.integers(0, 2 ** 32 - 1), _st.integers(0, 4),
+       _st.integers(0, 4), _st.integers(2, 40))
+def test_adaptive_selection_is_always_a_partition(seed, min_l, span, cap):
+    import pyarrow as pa
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.stages.adaptive_tiling import _select_cells
+
+    max_l = min_l + span
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    # mix of clustered and uniform points
+    lat = np.concatenate([rng.uniform(-85, 85, n // 2 + 1),
+                          10.0 + rng.uniform(-0.5, 0.5, n - n // 2 - 1)])
+    lng = np.concatenate([rng.uniform(-180, 180, n // 2 + 1),
+                          20.0 + rng.uniform(-0.5, 0.5, n - n // 2 - 1)])
+    cid = vk.from_latlng(lat, lng)
+    # complete multi-level counts table (what the combine produces)
+    anc = np.concatenate([vk.parent(cid, lv)
+                          for lv in range(min_l, max_l + 1)])
+    cells, counts = np.unique(anc, return_counts=True)
+    out = _select_cells(pa.table({
+        "cell_bits": pa.array(cells.view(np.int64)),
+        "n": pa.array(counts.astype(np.int64)),
+    }), min_l, max_l, cap)
+    sel = out["cell_id"].to_numpy(zero_copy_only=False)
+    ns = out["n_points"].to_numpy(zero_copy_only=False)
+    lvl = out["level"].to_numpy(zero_copy_only=False)
+    assert ns.sum() == cid.size
+    lo, hi = vk.range_min(sel), vk.range_max(sel)
+    order = np.argsort(lo)
+    assert np.all(hi[order][:-1] < lo[order][1:])
+    idx = np.searchsorted(lo[order], cid, side="right") - 1
+    assert np.all((idx >= 0) & (cid <= hi[order][np.maximum(idx, 0)]))
+    over = ns > cap
+    assert np.all(lvl[over] == max_l)
