@@ -337,3 +337,48 @@ def test_adaptive_selection_is_always_a_partition(seed, min_l, span, cap):
     assert np.all((idx >= 0) & (cid <= hi[order][np.maximum(idx, 0)]))
     over = ns > cap
     assert np.all(lvl[over] == max_l)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_st.integers(0, 2 ** 32 - 1))
+def test_covering_overlap_small_side_matches_brute(seed):
+    """O57 probe kernel (pure, no Ray): random caps × rects — the
+    per-tile contiguous-run searchsorted overlap equals a brute O(A·B)
+    range intersection, and every sum fits the int64 guard."""
+    from s2geometry_ray.kernels.regions import CapRegion, RectRegion
+    from s2geometry_ray.stages.covering_overlap import (_small_side,
+                                                        exploded_covering)
+
+    rng = np.random.default_rng(seed)
+    rects = []
+    for k in range(int(rng.integers(1, 4))):
+        lo = float(rng.uniform(-80, 60))
+        llo = float(rng.uniform(-170, 150))
+        rects.append((k, RectRegion.from_degrees(
+            lo, lo + float(rng.uniform(1, 25)),
+            llo, llo + float(rng.uniform(1, 25)))))
+    caps = [(k, CapRegion.from_latlng_radius(
+        float(rng.uniform(-70, 70)), float(rng.uniform(-170, 170)),
+        float(np.radians(rng.uniform(1, 12))))) for k in range(2)]
+    ka, _c, la, ha = exploded_covering(caps)
+    side_b = _small_side(rects, 64, 14)
+    got: dict[tuple, int] = {}
+    for kb, lo_b, hi_b in side_b:
+        i0 = np.searchsorted(hi_b, la, side="left")
+        i1 = np.searchsorted(lo_b, ha, side="right")
+        for i in range(ka.size):
+            for j in range(int(i0[i]), int(i1[i])):
+                ov = int(min(ha[i], hi_b[j])) - int(max(la[i], lo_b[j])) + 1
+                assert ov > 0
+                key = (int(ka[i]), kb)
+                got[key] = got.get(key, 0) + ov
+    exp: dict[tuple, int] = {}
+    for kb, lo_b, hi_b in side_b:
+        for i in range(ka.size):
+            for j in range(lo_b.size):
+                lo = max(int(la[i]), int(lo_b[j]))
+                hi = min(int(ha[i]), int(hi_b[j]))
+                if lo <= hi:
+                    key = (int(ka[i]), kb)
+                    exp[key] = exp.get(key, 0) + (hi - lo + 1)
+    assert got == exp
