@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["curate_images"]).curate_images,
         "covering_overlap_tiles": X.covering_overlap_tiles,
         "patch_features_images": X.patch_features_images,
+        "spatial_join_wrap": F.spatial_join_wrap,
     }
 
 
@@ -610,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["curate_images_sql"]).curate_images_sql(),
         "covering_overlap_tiles": X.covering_overlap_tiles_sql(),
         "patch_features_images": G.patch_features_sql(300),
+        "spatial_join_wrap": F.spatial_join_wrap_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

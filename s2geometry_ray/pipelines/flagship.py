@@ -242,3 +242,49 @@ def spatial_join_rect_hash(sf_dir: str):
                                  keep_cols=("event_id",),
                                  n_rows_hint=n_events)
     return out
+
+
+WRAP_TILES_DEG = {
+    900: (-30.0, 20.0, 160.0, -150.0),   # crosses the antimeridian
+    901: (40.0, 70.0, -20.0, 30.0),      # ordinary rect
+    902: (-89.0, -60.0, -180.0, 180.0),  # full-longitude polar band
+}
+
+
+def spatial_join_wrap(sf_dir: str):
+    """Antimeridian coverage: the broadcast covering join against a
+    ±180°-wrapping rect, an ordinary rect, and a full-longitude polar
+    band — the S1Interval wrap semantics (pytest-covered since round 1)
+    promoted to a value-exact gate.  The SQL twin spells the wrap as
+    ``lng >= lo OR lng <= hi``."""
+    import ray
+
+    from s2geometry_ray.kernels.regions import RectRegion
+    from s2geometry_ray.stages.spatial_join import (CoveringIndex,
+                                                    make_spatial_join_fn)
+
+    tiles = [(k, RectRegion.from_degrees(*b))
+             for k, b in WRAP_TILES_DEG.items()]
+    index_ref = ray.put(CoveringIndex.build(tiles, max_cells=64,
+                                            max_level=10))
+    out = _points_ds(sf_dir).map_batches(
+        make_spatial_join_fn(index_ref, ["event_id"]),
+        batch_format="pyarrow", batch_size=None)
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "tile_key"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+def spatial_join_wrap_sql() -> str:
+    lat = derive_lat_sql("event_id")
+    lng = derive_lng_sql("event_id")
+    arms = []
+    for k, (a, b, c, d) in WRAP_TILES_DEG.items():
+        if c > d:
+            lngp = f"({lng} >= {c!r} OR {lng} <= {d!r})"
+        else:
+            lngp = f"{lng} BETWEEN {c!r} AND {d!r}"
+        arms.append(f"""
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST({k} AS BIGINT) AS tile_key
+FROM events WHERE {lat} BETWEEN {a!r} AND {b!r} AND {lngp}""")
+    return " UNION ALL ".join(arms)
