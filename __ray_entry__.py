@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covering_overlap_tiles": X.covering_overlap_tiles,
         "patch_features_images": X.patch_features_images,
         "spatial_join_wrap": F.spatial_join_wrap,
+        "rebalance_sample_events": lambda sf: AN.rebalance_sample_events(
+            sf, level=2, target=60),
     }
 
 
@@ -612,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "covering_overlap_tiles": X.covering_overlap_tiles_sql(),
         "patch_features_images": G.patch_features_sql(300),
         "spatial_join_wrap": F.spatial_join_wrap_sql(),
+        "rebalance_sample_events": AN.rebalance_sample_sql(level=2, target=60),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

@@ -1344,3 +1344,99 @@ SELECT {parent_sql('cell_id', lv)} AS cell_id,
        CAST(SUM(cents) AS BIGINT) AS value_cents
 FROM cell GROUP BY 1""")
     return ctes + " UNION ALL ".join(sels)
+
+
+def rebalance_sample_events(sf_dir: str, level: int = 4,
+                            target: int = 120, seed: int = 21):
+    """O59 geo-rebalanced sampling: downsample each level-``level``
+    cell to ≈``target`` rows (keep probability min(1, target/n_cell)) —
+    the geographic rebalancing a web-scale image corpus needs so dense
+    cities don't dominate training.  Deterministic and replayable: keep
+    iff splitmix64(key ⊕ mix(seed)) ≤ floor(target·2⁶⁴ / n_cell), all
+    integer arithmetic, so the SQL twin recomputes the EXACT row set
+    (no VALUES pins — counts, threshold and hash all re-derived).
+
+    Two passes, the salt-plan shape: per-cell counts via map-side
+    partials + bounded combine (≤ 6·4^level keys), thresholds built
+    once driver-side and broadcast; pass 2 is a stateless map filter
+    (searchsorted cell → threshold, compare).  The point table never
+    shuffles."""
+    import ray
+
+    from s2geometry_ray.functions.shuffle import _seed_mix, _splitmix64
+    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.stages.broadcast import get_broadcast
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    if level > 8:
+        raise ValueError("rebalance level > 8 breaks the bounded "
+                         "counts-table contract (6·4^level cells)")
+
+    col = "cell_l8"  # _points_ds assigns JOIN_LEVEL=8; derive ours below
+    from s2geometry_ray.kernels import cellid as vk
+
+    pts = _points_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cells, counts = np.unique(vk.parent(cid, level), return_counts=True)
+        return pa.table({
+            "cell_bits": pa.array(cells.view(np.int64), type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    cnt = combine_partials(
+        pts.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "cell_bits", {"n": "sum"}).to_pandas()
+    cells = cnt["cell_bits"].to_numpy().view(np.uint64)
+    order = np.argsort(cells)
+    cells = cells[order]
+    ns = cnt["n"].to_numpy()[order]
+    full = (1 << 64) - 1
+    thr = np.array([full if int(n) <= target
+                    else (target << 64) // int(n) for n in ns],
+                   dtype=np.uint64)
+    plan_ref = ray.put((cells, thr))
+    mix = np.uint64(_seed_mix(seed))
+
+    def keep(t: pa.Table) -> pa.Table:
+        sc, sthr = get_broadcast(plan_ref)
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cell = vk.parent(cid, level)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(eid.astype(np.uint64) ^ mix)
+        idx = np.searchsorted(sc, cell)
+        if idx.size and (np.any(idx >= sc.size)
+                         or np.any(sc[np.minimum(idx, sc.size - 1)] != cell)):
+            raise ValueError("rebalance plan is missing a cell — counts "
+                             "pass and filter pass saw different inputs")
+        mask = h <= sthr[np.minimum(idx, sc.size - 1)]
+        return pa.table({
+            "event_id": pa.array(eid[mask]),
+            "cell": pa.array(cell[mask], type=pa.uint64()),
+        })
+
+    del col
+    return pts.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def rebalance_sample_sql(level: int = 4, target: int = 120,
+                         seed: int = 21) -> str:
+    from s2geometry_ray.functions.cellid_sql import cell_id_ctes, parent_sql
+    from s2geometry_ray.functions.shuffle import _seed_mix, sql_splitmix64
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
+
+    ctes = cell_id_ctes(derive_lat_sql("event_id"),
+                        derive_lng_sql("event_id"))
+    h = sql_splitmix64(
+        f"xor(CAST(event_id AS UBIGINT), {_seed_mix(seed)})")
+    two64 = 1 << 64
+    return ctes + f""",
+cl AS (SELECT event_id, {parent_sql('cell_id', level)} AS cell FROM cell),
+cnt AS (SELECT cell, count(*) AS n FROM cl GROUP BY 1)
+SELECT CAST(cl.event_id AS BIGINT) AS event_id, cl.cell AS cell
+FROM cl JOIN cnt ON cl.cell = cnt.cell
+WHERE CAST({h} AS HUGEINT) <=
+      CASE WHEN cnt.n <= {target} THEN CAST({two64 - 1} AS HUGEINT)
+           ELSE CAST({target} AS HUGEINT) * {two64} // cnt.n END
+"""

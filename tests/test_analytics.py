@@ -544,3 +544,37 @@ def test_cell_pyramid_invariants(ray_session, tmp_path):
     rolled = kids.groupby("p")["n"].sum()
     parents = out[out.level == 3].set_index("cell_id")["n"]
     assert rolled.sort_index().equals(parents.sort_index())
+
+
+def test_rebalance_sample_semantics(ray_session):
+    """O59: deterministic across runs, exact scalar threshold replay,
+    and cells under target are kept whole."""
+    from s2geometry_ray.functions.shuffle import _seed_mix, _splitmix64
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.analytics import rebalance_sample_events
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    sf = "/root/testdata/sf0.001"
+    a = rebalance_sample_events(sf, level=2, target=25, seed=21).to_pandas()
+    b = rebalance_sample_events(sf, level=2, target=25, seed=21).to_pandas()
+    assert sorted(a.event_id) == sorted(b.event_id)
+
+    import pyarrow.parquet as pq2
+    eid = pq2.read_table(f"{sf}/events.parquet", columns=["event_id"]) \
+        ["event_id"].to_numpy(zero_copy_only=False)
+    cell = vk.parent(vk.from_latlng(derive_lat(eid), derive_lng(eid)), 2)
+    import collections
+    n_by_cell = collections.Counter(cell.tolist())
+    mix = np.uint64(_seed_mix(21))
+    h = _splitmix64(eid.astype(np.uint64) ^ mix)
+    kept = set()
+    for e, c, hv in zip(eid, cell, h):
+        n = n_by_cell[int(c)]
+        thr = (1 << 64) - 1 if n <= 25 else (25 << 64) // n
+        if int(hv) <= thr:
+            kept.add(int(e))
+    assert set(a.event_id) == kept
+    # whole-kept small cells: every row of an under-target cell survives
+    small = [c for c, n in n_by_cell.items() if n <= 25]
+    assert small and all(
+        (a.cell == np.uint64(c)).sum() == n_by_cell[c] for c in small[:5])
