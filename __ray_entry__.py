@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_wrap": F.spatial_join_wrap,
         "rebalance_sample_events": lambda sf: AN.rebalance_sample_events(
             sf, level=2, target=60),
+        "cell_smooth_events": AN.cell_smooth_events,
     }
 
 
@@ -615,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "patch_features_images": G.patch_features_sql(300),
         "spatial_join_wrap": F.spatial_join_wrap_sql(),
         "rebalance_sample_events": AN.rebalance_sample_sql(level=2, target=60),
+        "cell_smooth_events": AN.cell_smooth_sql(),
         "q1_pricing_summary": T.Q1_SQL,
         "top_orders": T.TOP_ORDERS_SQL,
         "customer_order_stats": T.CUSTOMER_ORDER_STATS_SQL,

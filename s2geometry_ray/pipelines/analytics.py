@@ -1440,3 +1440,103 @@ WHERE CAST({h} AS HUGEINT) <=
       CASE WHEN cnt.n <= {target} THEN CAST({two64 - 1} AS HUGEINT)
            ELSE CAST({target} AS HUGEINT) * {two64} // cnt.n END
 """
+
+
+def cell_smooth_events(sf_dir: str, level: int = 4):
+    """O60 neighborhood smoothing: for every occupied level-``level``
+    cell, its own event count plus the counts of its 4 edge neighbors
+    (S15, face wraps included) — the spatial convolution a density/
+    anomaly screen runs over the cell grid.  The edge-neighbor relation
+    is symmetric (including across cube-face boundaries), so scatter
+    equals gather: each cell SENDS its count to its neighbors and the
+    smoothed value is the per-target sum.
+
+    Plan: bounded per-cell counts (map-side partials + combine —
+    ≤ 6·4^level keys) → one vectorized scatter/searchsorted pass over
+    the single combined block (the adaptive-tiling single-block
+    contract).  The SQL twin re-derives counts and the neighbor-join
+    sum; the 4-neighbor map itself is generated from the S15 kernel
+    (pytest-pinned bit-exact against the scalar oracle) and embedded
+    as VALUES."""
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.pipelines.flagship import _points_ds
+    from s2geometry_ray.stages.tile_assign import combine_partials
+
+    pts = _points_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cells, counts = np.unique(vk.parent(cid, level), return_counts=True)
+        return pa.table({
+            "cell_bits": pa.array(cells.view(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    combined = combine_partials(
+        pts.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "cell_bits", {"n": "sum"})
+
+    def smooth(t: pa.Table) -> pa.Table:
+        cells = t["cell_bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cells)
+        sc, sn = cells[order], n[order]
+        nbrs = vk.edge_neighbors(sc)             # (N, 4), symmetric
+        sm = sn.copy()
+        for k in range(4):
+            idx = np.searchsorted(sc, nbrs[:, k])
+            ok = (idx < sc.size) & (sc[np.minimum(idx, sc.size - 1)]
+                                    == nbrs[:, k])
+            # neighbor present → its count joins this cell's sum
+            sm[ok] += sn[idx[ok]]
+        return pa.table({
+            "cell_id": pa.array(sc, type=pa.uint64()),
+            "n": pa.array(sn),
+            "n_smooth": pa.array(sm),
+        })
+
+    return combined.map_batches(smooth, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def cell_smooth_sql(level: int = 4) -> str:
+    """Twin: counts via the pure-SQL S2 kernel; the smoothed sum joins a
+    neighbor map generated from the vectorized S15 kernel (pinned by
+    the pytest oracle's scalar cross-check).  The map covers the UNION
+    of cells occupied at every test SF, so one static twin is correct
+    at whichever scale the driver runs — extra map rows are inert
+    (they only activate through the join against that run's counts)."""
+    import pyarrow.parquet as _pq
+
+    from s2geometry_ray.functions.cellid_sql import cell_id_ctes, parent_sql
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.sources.geotag import (derive_lat, derive_lng,
+                                               derive_lat_sql,
+                                               derive_lng_sql)
+
+    occ = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        eid = _pq.read_table(f"/root/testdata/{sf}/events.parquet",
+                             columns=["event_id"]) \
+            ["event_id"].to_numpy(zero_copy_only=False)
+        occ.append(vk.parent(
+            vk.from_latlng(derive_lat(eid), derive_lng(eid)), level))
+    occupied = np.unique(np.concatenate(occ))
+    nbrs = vk.edge_neighbors(occupied)
+    rows = ", ".join(
+        f"(CAST({int(c)} AS UBIGINT), CAST({int(nb)} AS UBIGINT))"
+        for c, row in zip(occupied, nbrs) for nb in row)
+    ctes = cell_id_ctes(derive_lat_sql("event_id"),
+                        derive_lng_sql("event_id"))
+    return ctes + f""",
+cnt AS (SELECT {parent_sql('cell_id', level)} AS cell,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cell GROUP BY 1),
+nb(cell, nbr) AS (VALUES {rows})
+SELECT cnt.cell AS cell_id, cnt.n,
+       CAST(cnt.n + COALESCE(SUM(c2.n), 0) AS BIGINT) AS n_smooth
+FROM cnt
+LEFT JOIN nb ON nb.cell = cnt.cell
+LEFT JOIN cnt c2 ON c2.cell = nb.nbr
+GROUP BY 1, 2
+"""

@@ -578,3 +578,35 @@ def test_rebalance_sample_semantics(ray_session):
     small = [c for c, n in n_by_cell.items() if n <= 25]
     assert small and all(
         (a.cell == np.uint64(c)).sum() == n_by_cell[c] for c in small[:5])
+
+
+def test_cell_smooth_matches_oracle_neighbors(ray_session, tmp_path):
+    """O60: smoothed counts equal a scalar recompute using the ORACLE
+    edge-neighbor function — includes cells on cube-face edges (geotags
+    near ±180°), exercising the neighbor wrap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from s2geometry_ray.kernels import cellid as vk
+    from s2geometry_ray.oracle import s2 as o
+    from s2geometry_ray.pipelines.analytics import cell_smooth_events
+    from s2geometry_ray.sources.geotag import derive_lat, derive_lng
+
+    n = 3000
+    eids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"event_id": pa.array(eids),
+                    "user_id": pa.array(eids % 5),
+                    "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+                    "value": pa.array(np.zeros(n))})
+    pq2.write_table(tbl, tmp_path / "events.parquet")
+    out = cell_smooth_events(str(tmp_path), level=3).to_pandas()
+
+    cells = vk.parent(vk.from_latlng(derive_lat(eids), derive_lng(eids)), 3)
+    import collections
+    cnt = collections.Counter(int(c) for c in cells)
+    assert len(out) == len(cnt)
+    for r in out.itertuples():
+        c = int(r.cell_id)
+        exp = cnt[c] + sum(cnt.get(nb, 0) for nb in o.edge_neighbors(c))
+        assert (int(r.n), int(r.n_smooth)) == (cnt[c], exp)
+    assert (out.n_smooth > out.n).any()   # neighbors actually contributed
