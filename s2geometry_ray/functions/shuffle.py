@@ -91,10 +91,13 @@ FROM {table}
 def _rate_threshold(rate: float) -> int:
     """Inclusive keep-threshold for ``h <= thr``: a uniform u64 hash is
     kept with probability ``rate``.  rate=1 keeps everything (threshold
-    2⁶⁴−1); rates must be in (0, 1] — a 0 rate would wrap to keep-all."""
+    2⁶⁴−1); rates must be in (0, 1] — a 0 rate would wrap to keep-all.
+    Rates below 2⁻⁶⁴ clamp to the smallest representable keep
+    probability (threshold 0 ⇒ keep iff h == 0) instead of truncating
+    to -1, which would wrap to keep-ALL and invert the semantics."""
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
-    return min(int(rate * 2.0**64), 1 << 64) - 1
+    return max(min(int(rate * 2.0**64), 1 << 64), 1) - 1
 
 
 def stratified_sample(ds, stratum_col: str, rates: dict, default_rate: float,

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from s2geometry_ray.functions.sqlnum import half_even_sql
 from s2geometry_ray.scale import derive_num_parts
 
 # ---------------------------------------------------------------------------
@@ -705,11 +706,11 @@ def bloom_join_urgent_revenue(sf_dir: str, prune: bool = True):
                             {"n": "sum", "revenue_e4": "sum"})
 
 
-BLOOM_JOIN_SQL = """
+BLOOM_JOIN_SQL = f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                AS BIGINT)) AS BIGINT) AS revenue_e4
+       CAST(SUM({half_even_sql('l_extendedprice * (1 - l_discount) * 10000')})
+            AS BIGINT) AS revenue_e4
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority
@@ -1201,6 +1202,12 @@ def colocation_pairs_users(sf_dir: str, level: int = _COLOC_LEVEL,
         ts = t["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").view(np.int64)
         day = ts // _US_PER_DAY_AN
+        if day.size and day.min() < 0:
+            # a negative floored day sign-extends into the cell bits of
+            # the packed key, silently corrupting the bucket — fail loud
+            # (matching the level>17 and 31-bit user-id guards)
+            raise ValueError("pre-1970 timestamps produce negative days; "
+                             "the cell|day bucket packing requires day >= 0")
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = cell | day
         bu = np.unique(np.stack([bucket, uid], axis=1), axis=0)
@@ -1334,7 +1341,7 @@ def cell_pyramid_sql(min_level: int = 0, max_level: int = 6) -> str:
     ctes = cell_id_ctes(
         derive_lat_sql("event_id"), derive_lng_sql("event_id"),
         extra_cols=", cents",
-        extra_select=", CAST(ROUND(value * 100) AS BIGINT) AS cents")
+        extra_select=f", {half_even_sql('value * 100')} AS cents")
     sels = []
     for lv in range(min_level, max_level + 1):
         sels.append(f"""
@@ -1502,26 +1509,23 @@ def cell_smooth_events(sf_dir: str, level: int = 4):
 def cell_smooth_sql(level: int = 4) -> str:
     """Twin: counts via the pure-SQL S2 kernel; the smoothed sum joins a
     neighbor map generated from the vectorized S15 kernel (pinned by
-    the pytest oracle's scalar cross-check).  The map covers the UNION
-    of cells occupied at every test SF, so one static twin is correct
-    at whichever scale the driver runs — extra map rows are inert
-    (they only activate through the join against that run's counts)."""
-    import pyarrow.parquet as _pq
-
+    the pytest oracle's scalar cross-check).  The map enumerates ALL
+    6·4^level cells (the Hilbert id space at a level is the uniform
+    progression ``i·2·lsb + lsb``), so one static twin is complete at
+    ANY scale factor with zero fixture reads at oracle-build time —
+    unoccupied map rows are inert (they only activate through the join
+    against that run's counts)."""
     from s2geometry_ray.functions.cellid_sql import cell_id_ctes, parent_sql
     from s2geometry_ray.kernels import cellid as vk
-    from s2geometry_ray.sources.geotag import (derive_lat, derive_lng,
-                                               derive_lat_sql,
-                                               derive_lng_sql)
+    from s2geometry_ray.sources.geotag import derive_lat_sql, derive_lng_sql
 
-    occ = []
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        eid = _pq.read_table(f"/root/testdata/{sf}/events.parquet",
-                             columns=["event_id"]) \
-            ["event_id"].to_numpy(zero_copy_only=False)
-        occ.append(vk.parent(
-            vk.from_latlng(derive_lat(eid), derive_lng(eid)), level))
-    occupied = np.unique(np.concatenate(occ))
+    if level > 5:
+        raise ValueError(
+            f"cell_smooth_sql enumerates all 6*4^level cells; level={level} "
+            "would embed >24k VALUES rows — keep the gate level <= 5")
+    lsb = np.uint64(1) << np.uint64(2 * (30 - level))
+    occupied = (np.arange(6 * 4 ** level, dtype=np.uint64)
+                * (np.uint64(2) * lsb) + lsb)
     nbrs = vk.edge_neighbors(occupied)
     rows = ", ".join(
         f"(CAST({int(c)} AS UBIGINT), CAST({int(nb)} AS UBIGINT))"

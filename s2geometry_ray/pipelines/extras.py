@@ -10,6 +10,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from s2geometry_ray.functions.sqlnum import half_even_sql
+
 
 def distinct_event_types(sf_dir: str):
     """Distinct values via partial-unique + bounded combine (the
@@ -128,10 +130,10 @@ def order_priority_revenue(sf_dir: str):
                             {"n": "sum", "revenue_e4": "sum"})
 
 
-ORDER_PRIORITY_REVENUE_SQL = """
+ORDER_PRIORITY_REVENUE_SQL = f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+       CAST(SUM({half_even_sql('l_extendedprice * (1 - l_discount) * 10000')}) AS BIGINT) AS revenue_e4
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -440,7 +442,7 @@ def cell_stats_events_sql() -> str:
     ctes = cell_id_ctes(
         derive_lat_sql("event_id"), derive_lng_sql("event_id"),
         extra_cols=", cents",
-        extra_select=", CAST(ROUND(value * 100) AS BIGINT) AS cents")
+        extra_select=f", {half_even_sql('value * 100')} AS cents")
     return ctes + f"""
 SELECT {parent_sql('cell_id', 8)} AS cell_l8,
        CAST(count(*) AS BIGINT) AS n,

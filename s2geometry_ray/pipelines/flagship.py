@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from s2geometry_ray.functions.sqlnum import half_even_sql
+
 from s2geometry_ray.sources.geotag import (
     derive_lat,
     derive_lng,
@@ -116,7 +118,7 @@ def tile_assign_counts_sql() -> str:
     return f"""
 SELECT CAST(n.n_nationkey AS BIGINT) AS tile_key,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(SUM({half_even_sql('e.value * 100')}) AS BIGINT) AS value_cents
 FROM events e, nation n
 WHERE {lat} BETWEEN {b['lat_lo']} AND {b['lat_hi']}
   AND {lng} BETWEEN {b['lng_lo']} AND {b['lng_hi']}

@@ -19,7 +19,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from s2geometry_ray.functions.sqlnum import half_even_sql
 from s2geometry_ray.scale import derive_num_parts
+
+# np.round(value * 100) twin fragment — half-to-even, NOT DuckDB ROUND()
+_CENTS = half_even_sql("value * 100")
 
 # ---------------------------------------------------------------------------
 # AS-OF join: events ⋈asof orders on (user_id == o_custkey, o_orderdate <= ts)
@@ -233,10 +237,10 @@ def _ranges_within(reps: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_SQL = f"""
 SELECT p_partkey,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
 FROM part, events
 WHERE value BETWEEN p_size * 9.0 AND p_size * 9.0 + p_retailprice / 100.0
 GROUP BY p_partkey
@@ -324,9 +328,9 @@ def rolling_user_value(sf_dir: str):
         .groupby("part").map_groups(windows, batch_format="pandas")
 
 
-ROLLING_SQL = """
+ROLLING_SQL = f"""
 WITH e AS (SELECT event_id, user_id, ts,
-                  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+                  {_CENTS} AS cents FROM events)
 SELECT event_id, user_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
        CAST(COALESCE(LAG(cents) OVER w, -1) AS BIGINT) AS lag_cents,
@@ -587,7 +591,7 @@ def quantiles_cont_events(sf_dir: str, qs: tuple = _QS):
 
 QUANTILES_SQL = " UNION ALL ".join(
     f"SELECT event_type, CAST({int(q * 100)} AS BIGINT) AS q_pct, "
-    f"CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS BIGINT) "
+    f"CAST(quantile_disc({_CENTS}, {q}) AS BIGINT) "
     f"AS value_cents FROM events GROUP BY event_type"
     for q in _QS)
 
@@ -648,9 +652,9 @@ WHERE lo.rk = CAST(floor({qd} * (lo.n - 1)) AS BIGINT)
 # interpolation spelled out from ROW_NUMBER ranks with the engine's own
 # IEEE expression — NOT DuckDB's quantile_cont, whose internal float
 # association is unspecified
-QUANTILES_CONT_SQL = """
+QUANTILES_CONT_SQL = f"""
 WITH e AS (SELECT event_type,
-                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+                  {_CENTS} AS c FROM events),
 r AS (SELECT event_type, c,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) - 1
                AS rk,

@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from s2geometry_ray.functions.sqlnum import half_even_sql
+
 _US_PER_DAY = 86_400_000_000
 
 
@@ -70,12 +72,12 @@ def q1_pricing_summary(sf_dir: str):
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4
+  CAST(SUM({half_even_sql('l_extendedprice * 100')}) AS BIGINT) AS sum_base_cents,
+  CAST(SUM({half_even_sql('l_extendedprice * (1 - l_discount) * 10000')}) AS BIGINT) AS sum_disc_e4
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag, l_linestatus
@@ -147,10 +149,10 @@ def customer_order_stats(sf_dir: str):
                             {"n_orders": "sum", "total_cents": "sum"})
 
 
-CUSTOMER_ORDER_STATS_SQL = """
+CUSTOMER_ORDER_STATS_SQL = f"""
 SELECT c_mktsegment,
   CAST(count(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  CAST(SUM({half_even_sql('o_totalprice * 100')}) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -185,7 +187,7 @@ EVENTS_WINDOW_SQL = f"""
 SELECT event_type,
   {_floor_div_day_sql('epoch_us(ts)')} AS day_bucket,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  CAST(SUM({half_even_sql('value * 100')}) AS BIGINT) AS value_cents
 FROM events
 GROUP BY event_type, day_bucket
 """
@@ -231,7 +233,7 @@ EVENTS_HOPPING_SQL = f"""
 WITH e AS (
   SELECT event_type,
          {_floor_div_day_sql('epoch_us(ts)')} AS d,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         {half_even_sql('value * 100')} AS cents
   FROM events),
 w AS (SELECT event_type, d AS window_start, cents FROM e
       UNION ALL

@@ -517,6 +517,27 @@ def test_colocation_pairs_semantics(ray_session, tmp_path):
                                max_users_per_bucket=3).to_pandas()
 
 
+def test_colocation_rejects_pre_1970_timestamps(ray_session, tmp_path):
+    """A negative floored day would sign-extend into the packed cell|day
+    bucket — the pipeline must fail loudly, never corrupt the key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from s2geometry_ray.pipelines.analytics import colocation_pairs_users
+
+    n = 8
+    eids = np.arange(n, dtype=np.int64)
+    ts = np.full(n, -86_400_000_000 * 3, dtype=np.int64) \
+        .astype("datetime64[us]")
+    tbl = pa.table({"event_id": pa.array(eids),
+                    "user_id": pa.array(eids % 3),
+                    "ts": pa.array(ts),
+                    "value": pa.array(np.zeros(n))})
+    pq2.write_table(tbl, tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="pre-1970"):
+        colocation_pairs_users(str(tmp_path), level=3).to_pandas()
+
+
 def test_cell_pyramid_invariants(ray_session, tmp_path):
     """O55: every level slice partitions N exactly, and each parent's
     count equals the sum of its children one level down."""

@@ -1027,6 +1027,10 @@ def test_stratified_sample_deterministic_rates(ray_session):
         _rate_threshold(0.0)
     with pytest.raises(ValueError):
         _rate_threshold(1.5)
+    # sub-2⁻⁶⁴ rates clamp to threshold 0 (keep iff hash == 0), never
+    # wrap to -1 / keep-all
+    assert _rate_threshold(2.0 ** -70) == 0
+    assert _rate_threshold(1.0) == (1 << 64) - 1
 
 
 def test_image_thumb_stage_matches_driver(ray_session):
