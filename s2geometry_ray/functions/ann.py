@@ -118,34 +118,25 @@ def _content_hash_rows(emb: np.ndarray, seed: int) -> np.ndarray:
     return h
 
 
-def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,
-                    sample_fraction=0.25, seed=3, max_sample=50_000,
-                    n_rows_hint=None) -> np.ndarray:
-    """k-means-lite on a BOUNDED, DETERMINISTIC sample: rows whose
-    content hash falls under the sample fraction (uniform regardless of
-    how the table is sorted — a head-N limit would train on one corpus
-    of a source-ordered table, and Ray's ``random_sample(seed=...)`` was
-    measured to vary across executions with block splitting, making
-    downstream recall wobble run-to-run), capped at ``max_sample``
-    driver rows.  Order-independence holds while the hash sample fits
-    the cap; pass ``n_rows_hint`` so the fraction auto-shrinks to
-    ~2×cap expected rows and the cap rarely bites (when it does, the
-    excess is trimmed in block order — bounded, documented bias).  The
-    quantizer itself is tiny and broadcast."""
+def _train_fraction(sample_fraction: float, max_sample: int,
+                    n_rows_hint) -> float:
     frac = min(1.0, float(sample_fraction))
     if n_rows_hint and n_rows_hint > 0:
         frac = min(frac, 2.0 * max_sample / float(n_rows_hint))
-    thresh = np.uint64(int(frac * float(2**64 - 1)))
+    return frac
 
-    def pick(t: pa.Table) -> pa.Table:
-        emb = _stack_embeddings(t, emb_col)
-        return t.filter(pa.array(_content_hash_rows(emb, seed) <= thresh))
 
-    sample = ds.map_batches(pick, batch_format="pyarrow") \
-        .limit(max_sample).take_all()
-    if not sample:  # tiny inputs under an aggressive fraction
-        sample = ds.limit(max_sample).take_all()
-    x = _normalize_rows(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+def _kmeans_fit(x_raw: np.ndarray, n_centroids: int, iters: int,
+                seed: int) -> np.ndarray:
+    """Canonical-order k-means-lite core, shared by the distributed
+    trainer and the driver-side oracle recompute (``ivf_prune_ids``).
+    Sorts the sample rows by content hash FIRST: ``take_all`` arrival
+    order is not guaranteed by Ray's streaming executor, and both the
+    seeded init choice and the float segment-sum accumulation are
+    row-order dependent — the hash sort gives one deterministic order on
+    any cluster layout (the same property the hash FILTER already has)."""
+    order = np.argsort(_content_hash_rows(x_raw, seed), kind="stable")
+    x = _normalize_rows(x_raw[order])
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -158,6 +149,36 @@ def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,
         c[nz] = sums[nz] / counts[nz, None]
         c = _normalize_rows(c)
     return c
+
+
+def train_centroids(ds, emb_col="embedding", n_centroids=16, iters=8,
+                    sample_fraction=0.25, seed=3, max_sample=50_000,
+                    n_rows_hint=None) -> np.ndarray:
+    """k-means-lite on a BOUNDED, DETERMINISTIC sample: rows whose
+    content hash falls under the sample fraction (uniform regardless of
+    how the table is sorted — a head-N limit would train on one corpus
+    of a source-ordered table, and Ray's ``random_sample(seed=...)`` was
+    measured to vary across executions with block splitting, making
+    downstream recall wobble run-to-run), capped at ``max_sample``
+    driver rows.  Order-independence holds while the hash sample fits
+    the cap (the collected rows are re-sorted canonically by content
+    hash inside ``_kmeans_fit``); pass ``n_rows_hint`` so the fraction
+    auto-shrinks to ~2×cap expected rows and the cap rarely bites (when
+    it does, the excess is trimmed in block order — bounded, documented
+    bias).  The quantizer itself is tiny and broadcast."""
+    frac = _train_fraction(sample_fraction, max_sample, n_rows_hint)
+    thresh = np.uint64(int(frac * float(2**64 - 1)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(t, emb_col)
+        return t.filter(pa.array(_content_hash_rows(emb, seed) <= thresh))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow") \
+        .limit(max_sample).take_all()
+    if not sample:  # tiny inputs under an aggressive fraction
+        sample = ds.limit(max_sample).take_all()
+    x_raw = np.asarray([r[emb_col] for r in sample], dtype=np.float64)
+    return _kmeans_fit(x_raw, n_centroids, iters, seed)
 
 
 class IvfAssignActor:
@@ -176,6 +197,39 @@ class IvfAssignActor:
         return batch.append_column("bucket", pa.array(bucket))
 
 
+def _ivf_defaults(n_rows_hint: int, n_centroids, nprobe) -> tuple[int, int]:
+    if n_centroids is None:
+        n_centroids = int(np.clip(np.sqrt(max(n_rows_hint, 1)), 8, 4096))
+    if nprobe is None:
+        nprobe = max(4, -(-n_centroids // 4))
+    return n_centroids, nprobe
+
+
+def ivf_prune_ids(emb_raw: np.ndarray, keys: np.ndarray,
+                  query_matrix: np.ndarray, n_centroids=None, nprobe=None,
+                  sample_fraction=0.25, seed=3,
+                  max_sample=50_000) -> np.ndarray:
+    """Driver-side recompute of ``ivf_topk``'s PRUNE SET (the keys that
+    survive the probed-bucket filter), on in-memory matrices — the
+    oracle side of the value-exact ivf_topk gate.  Replays the identical
+    chain: hash-threshold sample → ``_kmeans_fit`` (canonical hash
+    order) → per-query probe lists → global probed-bucket union →
+    argmax bucket assignment.  Single-process numpy, no Ray."""
+    n = len(keys)
+    n_centroids, nprobe = _ivf_defaults(n, n_centroids, nprobe)
+    frac = _train_fraction(sample_fraction, max_sample, n)
+    thresh = np.uint64(int(frac * float(2**64 - 1)))
+    sample = emb_raw[_content_hash_rows(emb_raw, seed) <= thresh][:max_sample]
+    if sample.shape[0] == 0:
+        sample = emb_raw[:max_sample]
+    c = _kmeans_fit(sample, n_centroids, iters=8, seed=seed)
+    q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    probed = np.unique(probe)
+    bucket = np.argmax(_normalize_rows(emb_raw) @ c.T, axis=1)
+    return np.sort(keys[np.isin(bucket, probed)])
+
+
 def ivf_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
              emb_col="embedding", n_centroids=None, nprobe=None,
              n_rows_hint=None, concurrency=(1, 4)):
@@ -191,10 +245,7 @@ def ivf_topk(ds, query_matrix: np.ndarray, k: int, key_col="vec_id",
 
     if n_rows_hint is None:
         n_rows_hint = ds.count()
-    if n_centroids is None:
-        n_centroids = int(np.clip(np.sqrt(max(n_rows_hint, 1)), 8, 4096))
-    if nprobe is None:
-        nprobe = max(4, -(-n_centroids // 4))
+    n_centroids, nprobe = _ivf_defaults(n_rows_hint, n_centroids, nprobe)
     c = train_centroids(ds, emb_col, n_centroids, n_rows_hint=n_rows_hint)
     q = _normalize_rows(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]  # (Q, nprobe)

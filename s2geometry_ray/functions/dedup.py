@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from s2geometry_ray.functions.text import (_splitmix64, _utf8_buffer_view,
                                            fingerprint_batch)
@@ -747,23 +748,28 @@ def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
                          max_rounds: int = 50, num_parts: int | None = None,
                          n_nodes_hint=None):
     """Distributed connected components by min-label propagation,
-    JOIN-FREE: each round co-locates every node's label row with its
-    out-edges via ONE hash-partitioned groupby (label-carrier rows mixed
-    into the edge stream, the same partition trick as the LSH pair
-    stage), ships the label across each edge, then takes the min per
-    node with a second partitioned groupby.  The loop stops at fixpoint
-    (sum of labels strictly decreases until convergence — one cheap
-    aggregate per round); rounds needed = graph diameter (dup clusters
-    are near-cliques → 2-3 in practice; the tests include a diameter-9
-    chain).  Returns (key_col, rep) with rep = min key in the component.
+    JOIN-FREE and ONE shuffle per round: the propagate and the per-node
+    min are FUSED into a single hash-partitioned groupby (round-4
+    verdict #3 — the old propagate + min pair cost two ~10 s fixed-
+    overhead groupbys per round).  Each round, a node's carrier rows
+    (its own label + every label message addressed to it last round)
+    land in its partition together with its out-edges; the group step
+    resolves ``new = min(carriers)`` and immediately emits next round's
+    messages across the edges plus the node's own refreshed carrier.
+    The loop stops at fixpoint (sum of resolved labels strictly
+    decreases until convergence — one map-only filter + tree aggregate
+    per round, no extra shuffle); rounds needed = graph diameter (dup
+    clusters are near-cliques → 2-3 in practice; the tests include a
+    diameter-9 chain).  Returns (key_col, rep) with rep = min key in
+    the component.
 
-    Note: node/edge keys must be ≥ 0 (dst = -1 marks label-carrier
-    rows), and every edge endpoint MUST appear in ``nodes_ds`` — the
-    propagate stage raises if a src group lacks its carrier row (a
-    silent -1 would otherwise spread as the min label — round-2
-    advisory).  A plain Dataset.join formulation hit a Ray 2.49
-    hash-join field-resolution bug when re-joined in a loop; the groupby
-    formulation is also one less shuffle per round.
+    Note: node/edge keys must be ≥ 0 (negative ``dst`` marks carrier
+    rows: -2 = the node's own resolved label, -1 = an incoming message),
+    and every edge endpoint MUST appear in ``nodes_ds`` — the fused step
+    raises if a src group has edges but no carrier row (a silent -1
+    would otherwise spread as the min label — round-2 advisory).  A
+    plain Dataset.join formulation hit a Ray 2.49 hash-join
+    field-resolution bug when re-joined in a loop.
 
     ``num_parts`` derives from ``n_nodes_hint`` when given (or from a
     metadata-cheap ``nodes_ds.count()`` when the nodes side is a bare
@@ -790,77 +796,101 @@ def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
 
-    def init_labels(t: pa.Table) -> pa.Table:
+    def init_self(t: pa.Table) -> pa.Table:
         n = t[key_col].to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(n, type=pa.int64()),
-                         "label": pa.array(n, type=pa.int64())})
-
-    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow")
-
-    # all-distinct fast path: no edges → every node is its own
-    # component; skip the round machinery (2 shuffles/round) entirely.
-    # count() on the materialized edges is metadata-only.
-    if edges.count() == 0:
-        return labels.map_batches(
-            lambda t: pa.table({key_col: t["node"], "rep": t["label"]}),
-            batch_format="pyarrow")
-
-    def as_carrier(t: pa.Table) -> pa.Table:
-        n = t["node"].to_numpy(zero_copy_only=False)
         return pa.table({
             "src": pa.array(n, type=pa.int64()),
-            "dst": pa.array(np.full(n.size, -1, dtype=np.int64)),
-            "label": t["label"],
+            "dst": pa.array(np.full(n.size, -2, dtype=np.int64)),
+            "label": pa.array(n, type=pa.int64()),
             "part": pa.array((n % num_parts).astype(np.int64)),
         })
 
-    def propagate(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["src", "dst"], kind="mergesort")  # dst=-1 first
+    def init_wave(t: pa.Table) -> pa.Table:
+        # round-0 messages: L0 is the identity labelling, so each edge
+        # (a,b) immediately ships a's key to b and vice versa — without
+        # this seed wave the first fused step would resolve with self
+        # labels only and the fixpoint sum would break one round early
+        a = t["key_a"].to_numpy(zero_copy_only=False)
+        b = t["key_b"].to_numpy(zero_copy_only=False)
+        to = np.concatenate([b, a])
+        return pa.table({
+            "src": pa.array(to, type=pa.int64()),
+            "dst": pa.array(np.full(to.size, -1, dtype=np.int64)),
+            "label": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "part": pa.array((to % num_parts).astype(np.int64)),
+        })
+
+    msgs = nodes_ds.map_batches(init_self, batch_format="pyarrow").union(
+        edges_ds.map_batches(init_wave, batch_format="pyarrow"))
+
+    def to_result(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["dst"], -2)
+        return pa.table({key_col: t["src"].filter(keep),
+                         "rep": t["label"].filter(keep)})
+
+    # all-distinct fast path: no edges → every node is its own
+    # component; skip the round machinery entirely.  count() on the
+    # materialized edges is metadata-only.
+    if edges.count() == 0:
+        return msgs.map_batches(to_result, batch_format="pyarrow")
+
+    def step(df: pd.DataFrame) -> pd.DataFrame:
+        # carriers (dst < 0, label ascending) sort before edges within
+        # each src group, so each group's FIRST row holds the min
+        # carrier label — one lexsort resolves every node's new label
         src = df["src"].to_numpy()
         dst = df["dst"].to_numpy()
         lbl = df["label"].to_numpy()
+        is_edge = dst >= 0
+        order = np.lexsort((lbl, is_edge, src))
+        src, dst, lbl, is_edge = (src[order], dst[order], lbl[order],
+                                  is_edge[order])
         new = np.empty(len(df), dtype=bool)
         new[0] = True
         new[1:] = src[1:] != src[:-1]
         starts = np.nonzero(new)[0]
         counts = np.diff(np.append(starts, len(df)))
-        # each src group leads with its single label-carrier row; a
-        # group whose first row is a real edge (dst >= 0) has no carrier
-        # → that endpoint is missing from nodes_ds: fail loudly instead
-        # of propagating -1 as the component min
-        if (dst[starts] >= 0).any():
-            missing = np.unique(src[starts[dst[starts] >= 0]])[:10]
+        # every src group must contain its SELF row (dst == -2) — a
+        # group without one is an edge endpoint missing from nodes_ds
+        # (the seed message wave would otherwise mask it): fail loudly
+        # instead of propagating a bogus label as the component min
+        ends = np.append(starts[1:], len(df))
+        cum_self = np.concatenate([[0], np.cumsum(dst == -2)])
+        no_self = cum_self[ends] == cum_self[starts]
+        if no_self.any():
+            missing = np.unique(src[starts[no_self]])[:10]
             raise ValueError(
                 "connected_components: edge endpoint(s) not present in "
                 f"nodes_ds (first few: {missing.tolist()})")
-        src_label = np.repeat(lbl[starts], counts)
-        out_node = np.where(dst >= 0, dst, src)
-        return pd.DataFrame({"node": out_node, "label": src_label,
-                             "part": out_node % num_parts})
+        resolved = np.repeat(lbl[starts], counts)  # min carrier per src
+        is_self = dst == -2
+        keep = is_edge | is_self  # drop stale -1 messages, keep 1 self row
+        out_node = np.where(is_edge, dst, src)[keep]
+        out_dst = np.where(is_edge, -1, -2)[keep]
+        # Arrow out: the next round unions this with the Arrow edge
+        # blocks, and Ray's sort refuses mixed pandas/arrow block types
+        return pa.table({
+            "src": pa.array(out_node, type=pa.int64()),
+            "dst": pa.array(out_dst, type=pa.int64()),
+            "label": pa.array(resolved[keep], type=pa.int64()),
+            "part": pa.array(out_node % num_parts, type=pa.int64()),
+        })
 
-    def min_per_node(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["node", "label"], kind="mergesort")
-        node = df["node"].to_numpy()
-        keep = np.empty(len(df), dtype=bool)
-        keep[0] = True
-        keep[1:] = node[1:] != node[:-1]
-        return df.loc[keep, ["node", "label"]]
+    def self_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["dst"], -2)
+        return pa.table({"label": t["label"].filter(keep)})
 
     prev_sum = None
     for _ in range(max_rounds):
-        labels = labels.materialize()
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        msgs = msgs.materialize()
+        cur = msgs.map_batches(self_rows, batch_format="pyarrow") \
+            .aggregate(Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur
-        carriers = labels.map_batches(as_carrier, batch_format="pyarrow")
-        msgs = edges.union(carriers).groupby("part").map_groups(
-            propagate, batch_format="pandas")
-        labels = msgs.groupby("part").map_groups(
-            min_per_node, batch_format="pandas")
-    return labels.map_batches(
-        lambda t: pa.table({key_col: t["node"], "rep": t["label"]}),
-        batch_format="pyarrow")
+        msgs = edges.union(msgs).groupby("part").map_groups(
+            step, batch_format="pandas")
+    return msgs.map_batches(to_result, batch_format="pyarrow")
 
 
 # --- O46: benchmark decontamination ------------------------------------

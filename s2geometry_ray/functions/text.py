@@ -49,60 +49,70 @@ FROM {table}
 class TokenStats:
     """Per-doc token/char/punct counts + a BPE-ish subword-piece count.
     DuckDB twin: length(regexp_extract_all(text, '\\S+')) etc.; the
-    BPE-ish column uses BPE_ISH_PATTERN verbatim on both engines
-    (pinned RE2/Python parity)."""
+    BPE-ish column uses BPE_ISH_PATTERN verbatim on both engines.
 
-    def __init__(self):
-        import re
+    Arrow-native (round-5 verdict #5): ``pc.count_substring_regex`` is
+    the SAME RE2 engine DuckDB runs, so engine/twin parity is by
+    construction; the former pandas path paid an Arrow→pandas copy of
+    the full text column per batch AND trusted Python-re ≡ RE2 on these
+    patterns."""
 
-        self.token_re = re.compile(TOKEN_PATTERN)
-        self.punct_re = re.compile(r"[.,!?;:]")
-        self.bpe_re = re.compile(BPE_ISH_PATTERN)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        batch = batch.copy()
-        batch["n_tokens"] = text.str.count(self.token_re).astype("int64")
-        batch["n_punct"] = text.str.count(self.punct_re).astype("int64")
-        batch["text_len"] = text.str.len().astype("int64")
-        batch["n_bpe_tokens"] = text.str.count(self.bpe_re).astype("int64")
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        i64 = lambda a: pc.cast(a, pa.int64())  # noqa: E731
+        return (batch
+                .append_column("n_tokens", i64(
+                    pc.count_substring_regex(text, TOKEN_PATTERN)))
+                .append_column("n_punct", i64(
+                    pc.count_substring_regex(text, "[.,!?;:]")))
+                .append_column("text_len", i64(pc.utf8_length(text)))
+                .append_column("n_bpe_tokens", i64(
+                    pc.count_substring_regex(text, BPE_ISH_PATTERN))))
 
 
 class QualityScore:
-    """Heuristic quality features: mean token length, stopword ratio,
-    uppercase ratio, digit ratio.  Ratios are int/int double divisions
-    (deterministic across engines)."""
+    """Heuristic quality features: word count, stopword ratio, uppercase
+    ratio, digit ratio.  Ratios are int/int double divisions
+    (deterministic across engines).
+
+    Arrow-native (round-5 verdict #5).  RE2 has no lookarounds, so the
+    stopword count (a maximal [A-Za-z]+ run whose lowercase equals a
+    stopword — the former ``(?<![A-Za-z])w(?![A-Za-z])`` Python-re
+    semantics) is computed by splitting on ``[^A-Za-z]+`` and set-
+    membership over the flattened word stream — same answer, zero
+    per-row Python, no pandas copy."""
 
     STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
 
-    def __init__(self):
-        import re
-
-        self.word_re = re.compile(r"[A-Za-z]+")
-        # one compiled pattern per stopword: a maximal [A-Za-z]+ run whose
-        # lowercase equals the stopword (same semantics as the former
-        # per-word Python loop, but counted by vectorized str.count)
-        self.stop_res = [
-            re.compile(rf"(?<![A-Za-z]){w}(?![A-Za-z])", re.IGNORECASE)
-            for w in self.STOPWORDS
-        ]
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        n_words = text.str.count(self.word_re).astype("int64")
-        n_stop = sum(text.str.count(p) for p in self.stop_res).astype("int64")
-        n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
-        n_upper = text.str.count(r"[A-Z]").astype("int64")
-        n_digit = text.str.count(r"[0-9]").astype("int64")
-        n_chars = text.str.len().astype("int64")
-        out = batch.copy()
-        out["n_words"] = n_words
-        out["stop_ratio"] = np.where(n_words > 0, n_stop / n_words.clip(lower=1), 0.0)
-        out["upper_ratio"] = np.where(n_chars > 0, n_upper / n_chars.clip(lower=1), 0.0)
-        out["digit_ratio"] = np.where(n_chars > 0, n_digit / n_chars.clip(lower=1), 0.0)
-        out["alpha_ratio"] = np.where(n_chars > 0, n_alpha / n_chars.clip(lower=1), 0.0)
-        return out
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        n = len(batch)
+        cnt = lambda p: pc.count_substring_regex(text, p) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)  # noqa: E731
+        n_words = cnt("[A-Za-z]+")
+        n_alpha = cnt("[A-Za-z]")
+        n_upper = cnt("[A-Z]")
+        n_digit = cnt("[0-9]")
+        n_chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern_regex(text, "[^A-Za-z]+")
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_lower(pc.list_flatten(words))
+        hit = pc.is_in(flat, value_set=pa.array(self.STOPWORDS)) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parent[hit], minlength=n).astype(np.int64)
+        wc = np.maximum(n_words, 1)
+        cc = np.maximum(n_chars, 1)
+        return (batch
+                .append_column("n_words", pa.array(n_words))
+                .append_column("stop_ratio", pa.array(
+                    np.where(n_words > 0, n_stop / wc, 0.0)))
+                .append_column("upper_ratio", pa.array(
+                    np.where(n_chars > 0, n_upper / cc, 0.0)))
+                .append_column("digit_ratio", pa.array(
+                    np.where(n_chars > 0, n_digit / cc, 0.0)))
+                .append_column("alpha_ratio", pa.array(
+                    np.where(n_chars > 0, n_alpha / cc, 0.0))))
 
 
 # character-trigram profiles for a tiny deterministic language-ID heuristic
@@ -137,18 +147,19 @@ class LangId:
                 best, best_s = lang, s
         return best
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str).str.lower()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow-native (round-5 verdict #5): plain substring containment
+        # per trigram — no pandas copy of the text column
+        text = pc.utf8_lower(pc.cast(batch["text"], pa.string()))
         scores = np.stack([
-            sum(text.str.contains(tri, regex=False).to_numpy(dtype=np.int64)
-                for tri in prof)
+            sum(pc.match_substring(text, tri).to_numpy(zero_copy_only=False)
+                .astype(np.int64) for tri in prof)
             for prof in self.trigrams
         ], axis=1)  # (N, n_langs)
         pred = np.asarray(self.langs, dtype=object)[np.argmax(scores, axis=1)]
         pred[scores.max(axis=1) == 0] = "unknown"
-        batch = batch.copy()
-        batch["lang_pred"] = pred
-        return batch
+        return batch.append_column(
+            "lang_pred", pa.array(pred, type=pa.string()))
 
 
 def lang_id_sql(table: str = "documents") -> str:
@@ -286,21 +297,32 @@ class NormalizeText:
     differ between Python and DuckDB's ICU on Turkish İ / German ß, so
     the unicode kernel would silently diverge), whitespace-run collapse
     to a single space, and edge trim.  Adds ``norm_text``; stateless
-    vectorized batch transform, no shuffle."""
+    vectorized batch transform, no shuffle.
 
-    def __init__(self):
-        import re
+    Arrow-native (round-5 verdict #5): the ASCII translate is a single
+    numpy pass over the utf8 BYTE buffer (bytes 0x41–0x5A += 0x20 —
+    safe in UTF-8, multibyte continuation/lead bytes all have the high
+    bit set), then RE2 whitespace collapse + trim via pyarrow.compute —
+    no pandas copy of the corpus on O49's hottest full-table pass."""
 
-        self.ws_re = re.compile(f"[{_WS_CHARS}]+")
-        self.lower_map = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["norm_text"] = (batch["text"].astype(str)
-                              .str.translate(self.lower_map)
-                              .str.replace(self.ws_re, " ", regex=True)
-                              .str.strip(" "))
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch["text"], pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, off = _utf8_buffer_view(col)
+        lowered_bytes = data.copy()
+        up = (lowered_bytes >= 0x41) & (lowered_bytes <= 0x5A)
+        lowered_bytes[up] += 0x20
+        if off[-1] >= 2**31:  # pragma: no cover - int32 offset ceiling
+            raise ValueError("NormalizeText: batch text exceeds 2 GiB — "
+                             "lower the batch size")
+        lowered = pa.StringArray.from_buffers(
+            len(col),
+            pa.py_buffer(off.astype(np.int32).tobytes()),
+            pa.py_buffer(lowered_bytes.tobytes()))
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(lowered, f"[{_WS_CHARS}]+", " "), " ")
+        return batch.append_column("norm_text", norm)
 
 
 def normalize_text_sql(table: str = "documents") -> str:

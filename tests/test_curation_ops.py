@@ -22,7 +22,7 @@ def test_normalize_text_ascii_only_and_idempotent(ray_session):
                  "already normal", "\f\va\r\nb\t"],
     })
     out = rd.from_pandas(df).map_batches(
-        NormalizeText, batch_format="pandas", concurrency=1).to_pandas()
+        NormalizeText, batch_format="pyarrow", concurrency=1).to_pandas()
     got = dict(zip(out["doc_id"], out["norm_text"]))
     assert got[0] == "hello world"
     # non-ASCII letters are NOT lowered (explicit ASCII-only contract —
@@ -34,7 +34,7 @@ def test_normalize_text_ascii_only_and_idempotent(ray_session):
     out2 = rd.from_pandas(out.drop(columns=["text"])
                           .rename(columns={"norm_text": "text"})
                           [["doc_id", "text"]]).map_batches(
-        NormalizeText, batch_format="pandas", concurrency=1).to_pandas()
+        NormalizeText, batch_format="pyarrow", concurrency=1).to_pandas()
     assert (out2["norm_text"] == out2["text"]).all()
 
 

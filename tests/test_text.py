@@ -5,7 +5,7 @@ paths against straightforward per-row reference semantics)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from s2geometry_ray.functions.text import LangId, QualityScore
 
@@ -24,7 +24,7 @@ TEXTS = [
 
 def test_quality_stopword_count_matches_reference():
     qs = QualityScore()
-    out = qs(pd.DataFrame({"text": TEXTS}))
+    out = qs(pa.table({"text": TEXTS})).to_pandas()
     import re
 
     word_re = re.compile(r"[A-Za-z]+")
@@ -40,12 +40,12 @@ def test_quality_stopword_count_matches_reference():
 
 def test_langid_vectorized_matches_scalar():
     li = LangId()
-    out = li(pd.DataFrame({"text": TEXTS}))
+    out = li(pa.table({"text": TEXTS})).to_pandas()
     for i, t in enumerate(TEXTS):
         assert out["lang_pred"].iloc[i] == li._score(t), t
 
 
 def test_langid_unknown_on_no_overlap():
     li = LangId()
-    out = li(pd.DataFrame({"text": ["zzz qqq", ""]}))
+    out = li(pa.table({"text": ["zzz qqq", ""]})).to_pandas()
     assert list(out["lang_pred"]) == ["unknown", "unknown"]
