@@ -199,6 +199,16 @@ class MinHasher:
         n = len(counts)
         bounds = np.concatenate([[0], np.cumsum(counts)])
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # per-hasher scratch, REUSED across batches (the hasher is
+        # worker-cached): the former expression form allocated ~6 fresh
+        # 512 KiB temporaries per inner iteration — pure allocator +
+        # memset DRAM traffic on the pipeline most sensitive to host
+        # memory-bandwidth state (round-4 verdict #4)
+        if not hasattr(self, "_vbuf"):
+            shape = (self._SH_CHUNK + 64, self._PERM_CHUNK)
+            self._vbuf = np.empty(shape, dtype=np.uint64)
+            self._tbuf = np.empty(shape, dtype=np.uint64)
+            self._mbuf = np.empty(shape, dtype=bool)
         d0 = 0
         while d0 < n:
             # largest doc range whose shingles fit the chunk budget
@@ -206,10 +216,26 @@ class MinHasher:
             d1 = max(d1, d0 + 1)
             block = hs[bounds[d0] : bounds[d1]]
             seg = (bounds[d0:d1] - bounds[d0]).astype(np.int64)
+            m = block.size
+            if m > self._vbuf.shape[0]:  # one oversized doc (> chunk)
+                self._vbuf = np.empty((m, self._PERM_CHUNK), dtype=np.uint64)
+                self._tbuf = np.empty((m, self._PERM_CHUNK), dtype=np.uint64)
+                self._mbuf = np.empty((m, self._PERM_CHUNK), dtype=bool)
+            v = self._vbuf[:m]
+            t = self._tbuf[:m]
+            mask = self._mbuf[:m]
             for p0 in range(0, self.num_perm, self._PERM_CHUNK):
                 a = self.a[p0 : p0 + self._PERM_CHUNK]
                 b = self.b[p0 : p0 + self._PERM_CHUNK]
-                v = _mod_mersenne(block[:, None] * a[None, :] + b[None, :])
+                # in-place affine hash + Mersenne fold (y%(2^61-1) via
+                # shift/add, exact): v = ((block·a + b) mod M)
+                np.multiply(block[:, None], a[None, :], out=v)
+                v += b
+                np.right_shift(v, np.uint64(61), out=t)
+                v &= _MERSENNE
+                v += t
+                np.greater_equal(v, _MERSENNE, out=mask)
+                np.subtract(v, _MERSENNE, out=v, where=mask)
                 sigs[d0:d1, p0 : p0 + self._PERM_CHUNK] = \
                     np.minimum.reduceat(v, seg, axis=0)
             d0 = d1
