@@ -25,12 +25,30 @@ def main() -> None:
     ap.add_argument("--w", type=int, default=16)
     ap.add_argument("--h", type=int, default=16)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--resumable", action="store_true",
+                    help="write counts/ as per-tile manifest partitions "
+                         "(a crashed run re-submits and skips finished "
+                         "tiles, byte-identical)")
     args = ap.parse_args()
 
     ray = C.ray_session(args.num_cpus)
     from s2geometry_ray.pipelines.extras import rasterize_density_tiles
     from s2geometry_ray.sources.io import write_table
     from s2geometry_ray.stages.rasterize import density_images
+
+    if args.resumable and (args.w, args.h) == (16, 16):
+        import ray.data as rd
+
+        from s2geometry_ray.state.manifests import (rasterize_partitioned,
+                                                    read_output)
+
+        rasterize_partitioned(args.sf, f"{args.out}/counts")
+        counts = rd.from_arrow(read_output(f"{args.out}/counts"))
+        write_table(density_images(counts, w=args.w, h=args.h),
+                    f"{args.out}/atlas")
+        print(f"resumable density counts + PPM atlas written to {args.out}")
+        C.finish(ray)
+        return
 
     counts = rasterize_density_tiles(args.sf, w=args.w, h=args.h) \
         .materialize()  # tiny by the pre-agg contract; consumed twice

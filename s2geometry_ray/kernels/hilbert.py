@@ -68,3 +68,8 @@ LOOKUP_POS: tuple[int, ...] = tuple(_LOOKUP_POS)
 LOOKUP_IJ: tuple[int, ...] = tuple(_LOOKUP_IJ)
 LOOKUP_POS_NP = np.asarray(_LOOKUP_POS, dtype=np.int64)
 LOOKUP_IJ_NP = np.asarray(_LOOKUP_IJ, dtype=np.int64)
+# narrow views for the hot encode/decode loops: every table value fits
+# 10 bits, so uint16 gathers halve the lookup stream's bytes/row
+# (round-5 verdict #6 — the 8→32 plateau is memory-bandwidth-bound)
+LOOKUP_POS_U16 = np.asarray(_LOOKUP_POS, dtype=np.uint16)
+LOOKUP_IJ_U16 = np.asarray(_LOOKUP_IJ, dtype=np.uint16)

@@ -331,3 +331,51 @@ def test_image_curation_resume_byte_identical(ray_session):
         ta = read_output(a)
         assert ta.equals(read_output(b))
         assert ta.num_rows > 0
+
+
+def test_rasterize_crash_resume_identical(tmp_path, ray_session):
+    """O51 atlas render: crash after 2 tiles, resume, byte-identical
+    output with no recomputation of finished tiles (round-5: manifest
+    resume extended to the geo family)."""
+    from s2geometry_ray.state.manifests import rasterize_partitioned
+
+    full_dir = str(tmp_path / "full")
+    crash_dir = str(tmp_path / "crash")
+    done = rasterize_partitioned(SF, full_dir)
+    assert len(done) >= 3  # several occupied gate tiles at sf0.001
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rasterize_partitioned(SF, crash_dir, fail_after=2)
+    assert len(finished_partitions(crash_dir)) == 2
+
+    mtimes_before = {
+        n: os.path.getmtime(m["path"])
+        for n, m in finished_partitions(crash_dir).items()
+    }
+    done2 = rasterize_partitioned(SF, crash_dir)
+    assert len(done2) == len(done)
+    for n, t0 in mtimes_before.items():
+        assert os.path.getmtime(done2[n]["path"]) == t0, f"{n} was recomputed"
+    assert _output_bytes(crash_dir) == _output_bytes(full_dir)
+
+
+def test_trajectory_crash_resume_identical(tmp_path, ray_session):
+    """O53 trajectory distances: crash after 3 shards, resume,
+    byte-identical (whole users per shard, exact-integer sums)."""
+    from s2geometry_ray.state.manifests import trajectory_partitioned
+
+    full_dir = str(tmp_path / "full")
+    crash_dir = str(tmp_path / "crash")
+    done = trajectory_partitioned(SF, full_dir, num_shards=6)
+    assert len(done) == 6
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        trajectory_partitioned(SF, crash_dir, num_shards=6, fail_after=3)
+    assert len(finished_partitions(crash_dir)) == 3
+
+    done2 = trajectory_partitioned(SF, crash_dir, num_shards=6)
+    assert len(done2) == 6
+    assert _output_bytes(crash_dir) == _output_bytes(full_dir)
+    # fully-finished fast path: a third call skips the recompute
+    done3 = trajectory_partitioned(SF, crash_dir, num_shards=6)
+    assert done3.keys() == done2.keys()
