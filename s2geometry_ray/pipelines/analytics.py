@@ -1378,6 +1378,11 @@ def rebalance_sample_events(sf_dir: str, level: int = 4,
     if level > 8:
         raise ValueError("rebalance level > 8 breaks the bounded "
                          "counts-table contract (6·4^level cells)")
+    if target <= 0:
+        # target=0 would keep only h==0 rows (prob 2^-64) and a negative
+        # target would overflow the uint64 threshold build — both are
+        # config errors, not sampling plans (round-4 verdict #9 review)
+        raise ValueError(f"rebalance target must be >= 1, got {target}")
 
     col = "cell_l8"  # _points_ds assigns JOIN_LEVEL=8; derive ours below
     from s2geometry_ray.kernels import cellid as vk

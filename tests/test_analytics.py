@@ -599,6 +599,9 @@ def test_rebalance_sample_semantics(ray_session):
     small = [c for c, n in n_by_cell.items() if n <= 25]
     assert small and all(
         (a.cell == np.uint64(c)).sum() == n_by_cell[c] for c in small[:5])
+    # target <= 0 is a config error, not a sampling plan — fail loud
+    with pytest.raises(ValueError, match="target must be >= 1"):
+        rebalance_sample_events(sf, level=2, target=0)
 
 
 def test_cell_smooth_matches_oracle_neighbors(ray_session, tmp_path):

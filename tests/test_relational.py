@@ -351,3 +351,41 @@ def test_rcf_zlib_compression_roundtrip(ray_session):
     with pytest.raises(ValueError):
         rcf.encode_fragment(pa.table({"a": pa.array([1])}),
                             compression="lz4")
+
+
+def test_window_twins_pre_1970_timestamps(ray_session, tmp_path):
+    """The _floor_div_day_sql fix (truncating // vs flooring numpy
+    division) is load-bearing only with a negative-microsecond ts;
+    the driver fixtures are all post-1970, so pin it here: engine vs
+    twin on a table with pre-1970 rows must still value-match
+    (round-4 verdict #10)."""
+    import duckdb
+
+    from s2geometry_ray.pipelines import tpch as T
+
+    rng = np.random.default_rng(9)
+    n = 400
+    # microseconds straddling the epoch, incl. exact-midnight negatives
+    us = rng.integers(-5 * 86_400_000_000, 5 * 86_400_000_000, n)
+    us[:4] = [-86_400_000_000, -1, 0, -2 * 86_400_000_000]
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": np.array(["a", "b", "c"])[np.arange(n) % 3],
+        "ts": pd.to_datetime(us, unit="us"),
+        "value": rng.uniform(0, 50, n).round(2),
+    })
+    events.to_parquet(tmp_path / "events.parquet", index=False)
+
+    for fn, sql in ((T.events_window_counts, T.EVENTS_WINDOW_SQL),
+                    (T.events_hopping_counts, T.EVENTS_HOPPING_SQL)):
+        got = fn(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{tmp_path}/events.parquet'")
+        want = con.sql(sql).df()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert (a.filter(like="day", axis=1).min().min() < 0
+                or a.filter(like="window", axis=1).min().min() < 0)
