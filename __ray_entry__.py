@@ -12,9 +12,10 @@ sides (see sources/geotag.py).  Non-relational semantics get generated
 twins instead (functions/cellid_sql.py, functions/gate_oracles.py):
 recomputed-in-SQL SimHash/banding/bit-arithmetic, driver-evaluated
 deterministic-fixture constants with SQL-derived columns, and
-measured-value pins.  Only IVF top-k stays rows-only (genuinely
-probabilistic retrieval — its quality is pinned separately by the
-ivf_recall gate); its correctness lives in the pytest oracle (tests/).
+measured-value pins.  As of round 5 every gate has an oracle_sql twin:
+IVF top-k (formerly rows-only) is value-exact via a driver-recompute
+prune-set pin + SQL-re-derived top-k selection, and its approximation
+quality stays separately pinned by the ivf_recall gate.
 """
 
 from __future__ import annotations
@@ -244,6 +245,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
         })
 
+    def heavy_hitters_users(sf):
+        """O61 exact heavy hitters: certified top-10 users by event
+        count via the counter-sketch + exact-verify two-pass plan (raw
+        keys never shuffle); the twin is the brute GROUP BY, value-exact
+        because the operator raises rather than return uncertified."""
+        import ray.data as rd
+
+        from s2geometry_ray.functions.heavyhitters import heavy_hitters
+
+        ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+        return heavy_hitters(ds, "user_id", topn=10, k=256)
+
     def ivf_topk_embeddings(sf):
         """IVF retrieved set as (query_id, vec_id) ints — value-exact
         against G.ivf_topk_sql(): the prune set is a driver recompute
@@ -415,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": simhash_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "ann_cosine_topk": ann_cosine_topk,
+        "heavy_hitters_users": heavy_hitters_users,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "ivf_recall_embeddings": ivf_recall_embeddings,
         "audio_features_av": audio_features_av,
@@ -589,6 +603,11 @@ def oracle_sql() -> dict[str, str]:
         # round-5: the last rows-only gate converted — prune-set pin +
         # SQL-re-derived top-k selection (VERDICT r4 #1)
         "ivf_topk_embeddings": G.ivf_topk_sql(),
+        # O61: certified-exact heavy hitters == the brute GROUP BY
+        "heavy_hitters_users": __import__(
+            "s2geometry_ray.functions.heavyhitters",
+            fromlist=["heavy_hitters_sql"]).heavy_hitters_sql(
+                "user_id", topn=10, table="events"),
         # round-4 conversions: the kperm MinHash chain is deterministic
         # given its seeded permutation constants, so LSH candidates and
         # the Jaccard-verified pairs both get bit-exact recomputed SQL

@@ -634,3 +634,37 @@ def test_cell_smooth_matches_oracle_neighbors(ray_session, tmp_path):
         exp = cnt[c] + sum(cnt.get(nb, 0) for nb in o.edge_neighbors(c))
         assert (int(r.n), int(r.n_smooth)) == (cnt[c], exp)
     assert (out.n_smooth > out.n).any()   # neighbors actually contributed
+
+
+def test_heavy_hitters_exact_with_evictions(ray_session):
+    """O61: a Zipf stream with distinct keys >> k forces per-batch
+    drops; the certified result must equal brute counting, and an
+    uncertifiable configuration must raise rather than approximate."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2geometry_ray.functions.heavyhitters import heavy_hitters
+
+    rng = np.random.default_rng(4)
+    keys = rng.zipf(1.3, 60_000).astype(np.int64) % 5000  # ~3k distinct
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(keys)})) \
+        .repartition(8)  # several batches -> several truncated partials
+
+    got = heavy_hitters(ds, "user_id", topn=10, k=64).to_pandas()
+    cnt = collections.Counter(keys.tolist())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["user_id"], got["n"])) == want
+
+    # same answer on a different partitioning (block-layout independence)
+    got2 = heavy_hitters(ds.repartition(3), "user_id", topn=10,
+                         k=64).to_pandas()
+    assert got.equals(got2)
+
+    # k too small for a near-uniform tail: certificate must fail loudly
+    flat = rd.from_arrow(pa.table({
+        "user_id": pa.array(np.arange(40_000, dtype=np.int64) % 2000)
+    })).repartition(8)
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitters(flat, "user_id", topn=10, k=16)
