@@ -537,14 +537,66 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
         return fn
 
     n_cands = cands.count()
+
+    # broadcast fast path (round 5): when the CANDIDATE KEY set is
+    # small, ship (sorted keys, texts) to the object store once and
+    # verify pairs with two searchsorted gathers per batch — removing
+    # both hash joins and their ~10 s fixed setup apiece (the dominant
+    # cost of the corpus-curation gate).  Bound = key count, since the
+    # driver materializes those texts.
+    max_inline_keys = 100_000
+    ka = np.asarray(list(cands.unique("key_a") or []))
+    kb = np.asarray(list(cands.unique("key_b") or []))
+    ckeys = np.union1d(ka, kb)
+    if 0 < ckeys.size <= max_inline_keys:
+        import ray
+
+        rows = ds.map_batches(semi_filter(ckeys), batch_format="pyarrow") \
+            .select_columns([key_col, text_col]).take_all()
+        skeys = np.asarray([r[key_col] for r in rows])
+        stexts = np.asarray([r[text_col] for r in rows], dtype=object)
+        order = np.argsort(skeys)
+        tref = ray.put((skeys[order], stexts[order]))
+        # key dtype for empty-batch schema stability (cands blocks are
+        # pandas-built, so infer from the collected keys, not the schema)
+        key_type = pa.array(skeys[:1].tolist()).type
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            from s2geometry_ray.stages.broadcast import get_broadcast
+
+            if t.num_rows == 0:
+                return pa.table({"key_a": pa.array([], type=key_type),
+                                 "key_b": pa.array([], type=key_type),
+                                 "jaccard_e4": pa.array([], type=pa.int64())})
+            sk, st = get_broadcast(tref)
+            a = t["key_a"].to_numpy(zero_copy_only=False)
+            b = t["key_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(sk, a)
+            ib = np.searchsorted(sk, b)
+            if (ia >= sk.size).any() or (ib >= sk.size).any():
+                raise ValueError("jaccard verify: candidate key missing "
+                                 "from the broadcast text table")
+            if (sk[ia] != a).any() or (sk[ib] != b).any():
+                raise ValueError("jaccard verify: candidate key missing "
+                                 "from the broadcast text table")
+            ta = pa.array(st[ia], type=pa.string())
+            tb = pa.array(st[ib], type=pa.string())
+            jac = ngram_jaccard(ta, tb, width)
+            keep = jac >= tau
+            e4 = np.round(jac[keep] * 10_000).astype(np.int64)
+            return pa.table({"key_a": t["key_a"].filter(pa.array(keep)),
+                             "key_b": t["key_b"].filter(pa.array(keep)),
+                             "jaccard_e4": pa.array(e4)})
+
+        return cands.map_batches(verify_bcast, batch_format="pyarrow")
+
     sides = {}
     for side in ("a", "b"):
         src = ds
         if n_cands <= max_broadcast_keys:
-            # Dataset.unique returns a SET — materialize to a 1-D array
-            # (semi_filter sorts once; no driver-side sorted() of boxed ints)
-            keys = np.asarray(list(cands.unique(f"key_{side}") or []))
-            src = src.map_batches(semi_filter(keys), batch_format="pyarrow")
+            src = src.map_batches(semi_filter(np.sort(ka if side == "a"
+                                                      else kb)),
+                                  batch_format="pyarrow")
         sides[side] = src.map_batches(as_side(side),
                                       batch_format="pyarrow").materialize()
     joined = cands.join(sides["a"], join_type="inner",
