@@ -168,3 +168,34 @@ def test_triangle_overlay():
     _check(loop_union, np.logical_or, A, B, rng)
     _check(loop_intersection, np.logical_and, A, B, rng)
     _check(loop_difference, lambda a, b: a & ~b, A, B, rng)
+
+
+def _star(rng, clat, clng, rmin=4.0, rmax=16.0, nv=None):
+    """Random star-shaped (hence simple) loop around (clat, clng):
+    sorted angles + jittered radii, CCW."""
+    nv = nv or int(rng.integers(5, 11))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    # keep angular gaps away from degenerate near-collinear spacing
+    while np.min(np.diff(np.append(ang, ang[0] + 2 * np.pi))) < 0.08:
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    r = rng.uniform(rmin, rmax, nv)
+    pts = [(clat + ri * np.sin(a), clng + ri * np.cos(a))
+           for a, ri in zip(ang, r)]
+    return LoopRegion.from_latlng_degrees(pts)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_star_polygon_overlay_sweep(seed):
+    """Randomized widening of the crafted overlay fixtures (round-5
+    backlog): random star polygons with random overlap offsets, all
+    three boolean ops checked by membership parity away from
+    boundaries."""
+    rng = np.random.default_rng(100 + seed)
+    A = _star(rng, 0.0, 0.0)
+    # offset B from fully-overlapping to barely-touching to disjoint
+    off = float(rng.uniform(0, 28))
+    B = _star(rng, off * 0.4, off)
+    _check(loop_union, np.logical_or, A, B, rng)
+    _check(loop_intersection, np.logical_and, A, B, rng)
+    _check(loop_difference, lambda a, b: a & ~b, A, B, rng)
+    _check(loop_difference, lambda a, b: a & ~b, B, A, rng)
