@@ -1129,3 +1129,42 @@ def test_caption_geo_check_detects_corruption(ray_session):
     })
     got = CaptionGeoCheck()(t).to_pandas()
     assert list(got["consistent"]) == [True, False, False]
+
+
+def test_ivf_prune_recompute_matches_ray_path(ray_session):
+    """The ivf_topk SQL oracle pins the PRUNE SET via a single-process
+    numpy recompute (ann.ivf_prune_ids); this pins the parity
+    assumption directly: the distributed assign+prune path must keep
+    exactly the same vec_ids on the real fixture table."""
+    import pyarrow.parquet as pq2
+    import ray
+    import ray.data as rd
+
+    from s2geometry_ray.functions.ann import (IvfAssignActor, _ivf_defaults,
+                                              _normalize_rows, ivf_prune_ids,
+                                              train_centroids)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq2.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    keys = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qm = emb[keys < 5][np.argsort(keys[keys < 5])]
+    want = ivf_prune_ids(emb, keys, qm)
+
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).repartition(5)
+    n = len(keys)
+    n_centroids, nprobe = _ivf_defaults(n, None, None)
+    c = train_centroids(ds, "embedding", n_centroids, n_rows_hint=n)
+    q = _normalize_rows(np.asarray(qm, dtype=np.float64))
+    probed = np.unique(np.argsort(-(q @ c.T), axis=1)[:, :nprobe])
+    assigned = ds.map_batches(
+        IvfAssignActor, fn_constructor_args=(ray.put(c), "vec_id", "embedding"),
+        batch_format="pyarrow", concurrency=2)
+    got = np.sort(np.concatenate([
+        b["vec_id"].to_numpy(zero_copy_only=False)[
+            np.isin(b["bucket"].to_numpy(zero_copy_only=False), probed)]
+        for b in assigned.iter_batches(batch_format="pyarrow")]))
+    np.testing.assert_array_equal(got, want)
+    assert 0 < len(want) < n  # the prune actually prunes
