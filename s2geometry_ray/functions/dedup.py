@@ -539,11 +539,13 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
     n_cands = cands.count()
 
     # broadcast fast path (round 5): when the CANDIDATE KEY set is
-    # small, ship (sorted keys, texts) to the object store once and
-    # verify pairs with two searchsorted gathers per batch — removing
-    # both hash joins and their ~10 s fixed setup apiece (the dominant
-    # cost of the corpus-curation gate).  Bound = key count, since the
-    # driver materializes those texts.
+    # small, shingle each candidate text ONCE, ship the per-doc UNIQUE
+    # shingle sets to the object store, and verify each pair as a
+    # sorted-array intersection — removing both hash joins (~10 s fixed
+    # setup apiece) AND the per-pair re-shingling (at sf0.1 every doc
+    # sat in ~74 pairs, so ngram_jaccard re-shingled each text ~150×:
+    # 126 s of the corpus-curation wall for 368k pairs).  Bound = key
+    # count, since the driver materializes those texts once.
     max_inline_keys = 100_000
     ka = np.asarray(list(cands.unique("key_a") or []))
     kb = np.asarray(list(cands.unique("key_b") or []))
@@ -554,9 +556,14 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
         rows = ds.map_batches(semi_filter(ckeys), batch_format="pyarrow") \
             .select_columns([key_col, text_col]).take_all()
         skeys = np.asarray([r[key_col] for r in rows])
-        stexts = np.asarray([r[text_col] for r in rows], dtype=object)
         order = np.argsort(skeys)
-        tref = ray.put((skeys[order], stexts[order]))
+        skeys = skeys[order]
+        texts = pa.array([rows[i][text_col] for i in order],
+                         type=pa.string())
+        hs, counts = _bulk_shingle_hashes(texts, width)
+        uh, _useg, nuniq = _segment_unique(hs, counts)
+        uoff = np.concatenate([[0], np.cumsum(nuniq)]).astype(np.int64)
+        tref = ray.put((skeys, uh, uoff, nuniq.astype(np.int64)))
         # key dtype for empty-batch schema stability (cands blocks are
         # pandas-built, so infer from the collected keys, not the schema)
         key_type = pa.array(skeys[:1].tolist()).type
@@ -568,27 +575,51 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
                 return pa.table({"key_a": pa.array([], type=key_type),
                                  "key_b": pa.array([], type=key_type),
                                  "jaccard_e4": pa.array([], type=pa.int64())})
-            sk, st = get_broadcast(tref)
+            sk, suh, soff, snu = get_broadcast(tref)
             a = t["key_a"].to_numpy(zero_copy_only=False)
             b = t["key_b"].to_numpy(zero_copy_only=False)
             ia = np.searchsorted(sk, a)
             ib = np.searchsorted(sk, b)
             if (ia >= sk.size).any() or (ib >= sk.size).any():
                 raise ValueError("jaccard verify: candidate key missing "
-                                 "from the broadcast text table")
+                                 "from the broadcast shingle table")
             if (sk[ia] != a).any() or (sk[ib] != b).any():
                 raise ValueError("jaccard verify: candidate key missing "
-                                 "from the broadcast text table")
-            ta = pa.array(st[ia], type=pa.string())
-            tb = pa.array(st[ib], type=pa.string())
-            jac = ngram_jaccard(ta, tb, width)
+                                 "from the broadcast shingle table")
+            n = len(a)
+            na, nb = snu[ia], snu[ib]
+
+            def gather(idx, ln):
+                starts = soff[idx]
+                tot = int(ln.sum())
+                pos = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(ln) - ln, ln)
+                return np.repeat(np.arange(n, dtype=np.int64), ln), \
+                    suh[np.repeat(starts, ln) + pos]
+
+            pa_, ha_ = gather(ia, na)
+            pb_, hb_ = gather(ib, nb)
+            # each side is unique within a pair → an adjacent equal
+            # (pair, hash) run of length 2 == one intersection (the
+            # ngram_jaccard merge, on pre-uniqued per-doc sets)
+            pair = np.concatenate([pa_, pb_])
+            h = np.concatenate([ha_, hb_])
+            o = np.lexsort((h, pair))
+            pair, h = pair[o], h[o]
+            eq = (pair[1:] == pair[:-1]) & (h[1:] == h[:-1])
+            inter = np.bincount(pair[1:][eq], minlength=n)
+            union = na + nb - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
             keep = jac >= tau
             e4 = np.round(jac[keep] * 10_000).astype(np.int64)
             return pa.table({"key_a": t["key_a"].filter(pa.array(keep)),
                              "key_b": t["key_b"].filter(pa.array(keep)),
                              "jaccard_e4": pa.array(e4)})
 
-        return cands.map_batches(verify_bcast, batch_format="pyarrow")
+        # pair batches bounded so the gathered shingle streams stay
+        # ~tens of MB (pairs × ~2 × avg-shingles × 8 B)
+        return cands.map_batches(verify_bcast, batch_format="pyarrow",
+                                 batch_size=16384)
 
     sides = {}
     for side in ("a", "b"):
@@ -822,9 +853,33 @@ def group_star_edges(ds, group_col: str, key_col: str = "doc_id",
             .groupby("part").map_groups(star, batch_format="pandas"))
 
 
+def _minlabel_components_numpy(ea: np.ndarray, eb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side min-label components over the edge ENDPOINT set:
+    returns (endpoints, rep) with rep = min endpoint in the component.
+    Pointer-jumping min propagation — O(E·log) and a few arrays."""
+    nodes = np.unique(np.concatenate([ea, eb]))
+    ia = np.searchsorted(nodes, ea)
+    ib = np.searchsorted(nodes, eb)
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])
+        np.minimum.at(new, ib, lab[ia])
+        while True:  # pointer jump to the transitive min
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return nodes, nodes[lab]
+
+
 def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
                          max_rounds: int = 50, num_parts: int | None = None,
-                         n_nodes_hint=None):
+                         n_nodes_hint=None,
+                         small_edge_threshold: int = 2_000_000):
     """Distributed connected components by min-label propagation,
     JOIN-FREE and ONE shuffle per round: the propagate and the per-node
     min are FUSED into a single hash-partitioned groupby (round-4
@@ -909,8 +964,53 @@ def connected_components(edges_ds, nodes_ds, key_col: str = "doc_id",
     # all-distinct fast path: no edges → every node is its own
     # component; skip the round machinery entirely.  count() on the
     # materialized edges is metadata-only.
-    if edges.count() == 0:
+    n_sym_edges = edges.count()
+    if n_sym_edges == 0:
         return msgs.map_batches(to_result, batch_format="pyarrow")
+
+    # small-graph fast path (round 5): when the EDGE set is bounded,
+    # solve components driver-side over the endpoint set (pointer-
+    # jumping min propagation — milliseconds for millions of edges) and
+    # broadcast the (endpoint → rep) map; nodes_ds gets ONE stateless
+    # map pass, zero shuffles, zero rounds.  Nodes outside every edge
+    # are their own rep.  The distributed loop below remains the
+    # unbounded-graph path (force it with small_edge_threshold=0).
+    if n_sym_edges <= 2 * small_edge_threshold:
+        import ray
+
+        from s2geometry_ray.stages.broadcast import get_broadcast
+
+        ep = edges.select_columns(["src", "dst"]).to_pandas()
+        endpoints, reps = _minlabel_components_numpy(
+            ep["src"].to_numpy(), ep["dst"].to_numpy())
+        mref = ray.put((endpoints, reps))
+
+        # the missing-endpoint guard (round-2 advisory) still applies:
+        # every endpoint must exist in nodes_ds
+        def match(t: pa.Table) -> pa.Table:
+            se, _ = get_broadcast(mref)
+            n = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(se, n)
+            ok = (idx < se.size) & (se[np.minimum(idx, se.size - 1)] == n)
+            return pa.table({"k": pa.array(n[ok])})
+
+        matched = nodes_ds.map_batches(
+            match, batch_format="pyarrow").to_pandas()["k"].to_numpy()
+        missing = np.setdiff1d(endpoints, matched)
+        if missing.size:
+            raise ValueError(
+                "connected_components: edge endpoint(s) not present in "
+                f"nodes_ds (first few: {missing[:10].tolist()})")
+
+        def map_rep(t: pa.Table) -> pa.Table:
+            se, sr = get_broadcast(mref)
+            n = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(se, n), max(se.size - 1, 0))
+            hit = se[idx] == n if se.size else np.zeros(n.size, bool)
+            return pa.table({key_col: pa.array(n),
+                             "rep": pa.array(np.where(hit, sr[idx], n))})
+
+        return nodes_ds.map_batches(map_rep, batch_format="pyarrow")
 
     def step(df: pd.DataFrame) -> pd.DataFrame:
         # carriers (dst < 0, label ascending) sort before edges within

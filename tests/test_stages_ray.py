@@ -192,9 +192,13 @@ def test_minhash_bulk_matches_scalar():
         assert (bulk[i] == mh.signature(t)).all(), f"doc {i} ({t!r}) differs"
 
 
-def test_connected_components_chain(ray_session):
+@pytest.mark.parametrize("small_thr", [2_000_000, 0],
+                         ids=["fast-path", "distributed-loop"])
+def test_connected_components_chain(ray_session, small_thr):
     """Min-label propagation must converge on a long CHAIN (worst-case
-    diameter), star edges, and singletons."""
+    diameter), star edges, and singletons — on BOTH plans: the
+    driver-side small-graph fast path and the fused distributed loop
+    (forced with small_edge_threshold=0)."""
     import ray.data as rd
 
     from s2geometry_ray.functions.dedup import connected_components
@@ -210,11 +214,33 @@ def test_connected_components_chain(ray_session):
         "doc_id": pa.array(list(range(10)) + [20, 21, 22, 23, 30, 31],
                            type=pa.int64()),
     }))
-    out = connected_components(edges, nodes).to_pandas()
+    out = connected_components(edges, nodes,
+                               small_edge_threshold=small_thr).to_pandas()
     rep = dict(zip(out["doc_id"], out["rep"]))
     assert all(rep[i] == 0 for i in range(10))
     assert all(rep[i] == 20 for i in (20, 21, 22, 23))
     assert rep[30] == 30 and rep[31] == 31
+
+
+def test_connected_components_paths_agree(ray_session):
+    """Fast path == distributed loop on a random multi-component graph."""
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(6)
+    n = 500
+    ea = rng.integers(0, n, 300)
+    eb = rng.integers(0, n, 300)
+    edges = rd.from_arrow(pa.table({"key_a": pa.array(ea, type=pa.int64()),
+                                    "key_b": pa.array(eb, type=pa.int64())}))
+    nodes = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))}))
+    fast = connected_components(edges, nodes).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    loop = connected_components(edges, nodes, small_edge_threshold=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, loop, check_dtype=False)
 
 
 def test_group_star_edges(ray_session):
