@@ -617,7 +617,13 @@ def jaccard_verified_pairs(ds, tau: float = 0.5, width: int = 5,
                              "jaccard_e4": pa.array(e4)})
 
         # pair batches bounded so the gathered shingle streams stay
-        # ~tens of MB (pairs × ~2 × avg-shingles × 8 B)
+        # ~tens of MB (pairs × ~2 × avg-shingles × 8 B); the candidate
+        # set arrives in a handful of groupby output blocks, and batches
+        # WITHIN a block run serially in one task — spread the pairs
+        # across tasks so the verify actually parallelizes
+        nblk = int(np.clip(n_cands // 16384, 1, 64))
+        if nblk > cands.num_blocks():
+            cands = cands.repartition(nblk)
         return cands.map_batches(verify_bcast, batch_format="pyarrow",
                                  batch_size=16384)
 
