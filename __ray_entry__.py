@@ -245,6 +245,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
         })
 
+    def leakage_split_docs(sf):
+        """O62 leakage-safe split: every doc assigned train/val/test by
+        its dedup-CLUSTER rep (exact-text ∪ prefix16 components), so no
+        (near-)duplicate pair straddles the eval boundary; all integer
+        arithmetic — the twin recomputes the exact assignment."""
+        from s2geometry_ray.functions.dedup import leakage_safe_split
+
+        return leakage_safe_split(
+            _docs(sf).select_columns(["doc_id", "text"]),
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=19)
+
     def heavy_hitters_users(sf):
         """O61 exact heavy hitters: certified top-10 users by event
         count via the counter-sketch + exact-verify two-pass plan (raw
@@ -429,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "ann_cosine_topk": ann_cosine_topk,
         "heavy_hitters_users": heavy_hitters_users,
+        "leakage_split_docs": leakage_split_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "ivf_recall_embeddings": ivf_recall_embeddings,
         "audio_features_av": audio_features_av,
@@ -608,6 +620,12 @@ def oracle_sql() -> dict[str, str]:
             "s2geometry_ray.functions.heavyhitters",
             fromlist=["heavy_hitters_sql"]).heavy_hitters_sql(
                 "user_id", topn=10, table="events"),
+        # O62: cluster-level split — recursive-CTE components + the
+        # identical splitmix64 threshold CASE
+        "leakage_split_docs": __import__(
+            "s2geometry_ray.functions.dedup",
+            fromlist=["leakage_safe_split_sql"]).leakage_safe_split_sql(
+                {"train": 0.8, "val": 0.1, "test": 0.1}, seed=19),
         # round-4 conversions: the kperm MinHash chain is deterministic
         # given its seeded permutation constants, so LSH candidates and
         # the Jaccard-verified pairs both get bit-exact recomputed SQL

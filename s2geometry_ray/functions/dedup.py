@@ -1138,3 +1138,116 @@ DECON_QUERIES = (
     "batch window spark order",
     "zzqqxxvv never appears anywhere",
 )
+
+
+# --- O62: leakage-safe split ---------------------------------------------
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, inclusive u64 upper bound) per split, cumulative over the
+    given order; the last split absorbs rounding up to 2⁶⁴−1.  Shared
+    by the engine and the SQL twin so the CASE boundaries can never
+    drift."""
+    if not fractions or any(f <= 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be positive: {fractions}")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {fractions}")
+    names = list(fractions)
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, max(int(cum * 2.0**64), 1) - 1))
+    out.append((names[-1], (1 << 64) - 1))
+    return out
+
+
+def leakage_safe_split(ds, fractions: dict[str, float],
+                       key_col: str = "doc_id", text_col: str = "text",
+                       seed: int = 19, prefix_width: int = 16,
+                       n_rows_hint=None):
+    """O62 leakage-safe train/val/test split: every document is
+    assigned to a named split by its DEDUP-CLUSTER representative, not
+    by its own key — whole exact-text + prefix-dup clusters land in one
+    split, so no (near-)duplicate pair straddles the train/eval
+    boundary (the classic eval-contamination failure a row-wise random
+    split produces on a duplicate-heavy corpus).
+
+    Plan: fingerprint star edges (exact text ∪ first-``prefix_width``
+    chars) → connected components (driver fast path for bounded pair
+    graphs, fused distributed loop otherwise) → split =
+    splitmix64(rep ⊕ mix(seed)) against cumulative u64 thresholds —
+    all integer arithmetic, so the SQL twin recomputes the EXACT
+    assignment.  → Dataset (key_col, rep, split)."""
+    import pyarrow.compute as _pc
+
+    from s2geometry_ray.functions.shuffle import _seed_mix
+    from s2geometry_ray.scale import dataset_count_hint
+
+    if n_rows_hint is None:
+        n_rows_hint = dataset_count_hint(ds)
+
+    def fp_full(t: pa.Table) -> pa.Table:
+        return fingerprint_batch(t, text_col)
+
+    def fp_prefix(t: pa.Table) -> pa.Table:
+        pref = _pc.utf8_slice_codeunits(
+            _pc.cast(t[text_col], pa.string()), 0, prefix_width)
+        return fingerprint_batch(
+            pa.table({key_col: t[key_col], text_col: pref}), text_col)
+
+    e1 = group_star_edges(ds.map_batches(fp_full, batch_format="pyarrow"),
+                          "fp64", key_col=key_col, n_rows_hint=n_rows_hint)
+    e2 = group_star_edges(ds.map_batches(fp_prefix, batch_format="pyarrow"),
+                          "fp64", key_col=key_col, n_rows_hint=n_rows_hint)
+    comp = connected_components(e1.union(e2), ds.select_columns([key_col]),
+                                key_col=key_col, n_nodes_hint=n_rows_hint)
+
+    bounds = split_thresholds(fractions)
+    mix = np.uint64(_seed_mix(seed))
+    names = np.array([n for n, _ in bounds], dtype=object)
+    thrs = np.array([b for _, b in bounds], dtype=np.uint64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(rep ^ mix)
+        idx = np.searchsorted(thrs, h)  # h <= thrs[idx], last bound is max
+        return t.append_column(
+            "split", pa.array(names[idx], type=pa.string()))
+
+    return comp.map_batches(assign, batch_format="pyarrow")
+
+
+def leakage_safe_split_sql(fractions: dict[str, float], seed: int = 19,
+                           prefix_width: int = 16,
+                           table: str = "documents") -> str:
+    """Twin: the recursive-CTE component walk (the dedup_components
+    oracle) + the identical splitmix64/threshold CASE."""
+    from s2geometry_ray.functions.shuffle import _seed_mix, sql_splitmix64
+
+    h = sql_splitmix64(f"xor(CAST(rep AS UBIGINT), {_seed_mix(seed)})")
+    bounds = split_thresholds(fractions)
+    branches = " ".join(
+        f"WHEN CAST({h} AS HUGEINT) <= {thr} THEN '{name}'"
+        for name, thr in bounds[:-1])
+    return f"""
+WITH RECURSIVE
+e1 AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b
+       FROM {table} a JOIN {table} b
+         ON a.text = b.text AND a.doc_id < b.doc_id),
+e2 AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b
+       FROM {table} a JOIN {table} b
+         ON substr(a.text, 1, {prefix_width}) = substr(b.text, 1, {prefix_width})
+        AND a.doc_id < b.doc_id),
+edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+sym AS (SELECT key_a AS u, key_b AS v FROM edges
+        UNION ALL SELECT key_b, key_a FROM edges),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(rep AS BIGINT) AS rep,
+       CASE {branches} ELSE '{bounds[-1][0]}' END AS split
+FROM comp
+"""

@@ -200,3 +200,42 @@ def test_training_feed_multiset_and_balance(ray_session):
 
     with _pt.raises(ValueError):
         training_feed(ds, k=0)
+
+
+def test_leakage_safe_split_properties(ray_session):
+    """O62: (a) every member of a dup cluster gets its cluster's split —
+    no exact/prefix duplicate pair straddles train/eval; (b) fractions
+    are approximately honored over many singleton clusters; (c) bad
+    fraction configs raise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2geometry_ray.functions.dedup import (leakage_safe_split,
+                                                split_thresholds)
+
+    n = 900
+    texts = []
+    for i in range(n):
+        if i < 300:  # 100 exact-dup clusters of 3 (distinct prefixes)
+            texts.append(f"{i % 100:05d} duplicated training document body")
+        else:
+            texts.append(f"{i:05d}u unique document " + "x" * (i % 37))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    out = leakage_safe_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1},
+                             seed=19).to_pandas()
+    assert len(out) == n and set(out.columns) == {"doc_id", "rep", "split"}
+    # (a) one split per cluster rep
+    per_rep = out.groupby("rep")["split"].nunique()
+    assert (per_rep == 1).all()
+    dup = out[out["doc_id"] < 300]
+    assert (dup.groupby(dup["doc_id"] % 100)["split"].nunique() == 1).all()
+    # (b) fractions roughly honored (binomial noise over ~700 clusters)
+    frac = out.groupby("split")["doc_id"].count() / n
+    assert abs(frac.get("train", 0) - 0.8) < 0.08
+    # (c) loud config failures
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds({"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="positive"):
+        split_thresholds({"train": 1.2, "val": -0.2})
